@@ -1,0 +1,217 @@
+"""Graph construction: pages -> edges -> weighted, degree-aware link graph.
+
+This is the DataFrame re-expression of the reference's load path
+(``getInputResultForCsc``, /root/reference/kernel_bblock.cu:567-619):
+
+  reference CSC arrays                  -> this module
+  ------------------------------------    ----------------------------------
+  destination_offsets/source_indices      ``edges(src, dst, w)`` persisted
+                                          hash-partitioned by ``src`` (the
+                                          per-iteration join key) so the big
+                                          table never re-shuffles
+  weights_h[e] = 1/out_deg(src)           P1 weight projection at build time
+  bookmark_h (dangling flag)              ``is_dangling`` column on vertices
+  degree bins g1/g2                       in-degree stats -> salt fan-out map
+
+Vertex ids: a dense, deterministic url->long dictionary built by sorting the
+url universe and ``zipWithIndex`` (the one RDD use in the engine — Spark has
+no distributed dense-rank that avoids a single-partition window; sort +
+zipWithIndex is the standard scalable idiom). Ids are an internal detail,
+exactly as the reference's 1->0 index shift is.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from pagerank_spark.functions.extract import extract_outlinks
+
+
+def url_id_dictionary(urls: DataFrame) -> DataFrame:
+    """Deterministic dense id per distinct url: sort + zipWithIndex.
+
+    Returns ``(url string, id long)``. Dense ids keep downstream shuffle
+    keys 8 bytes and make rank vectors addressable exactly like the
+    reference's vertex-indexed arrays.
+    """
+    spark = urls.sparkSession
+    rdd = urls.select("url").distinct().sort("url").rdd.map(lambda r: r[0])
+    return spark.createDataFrame(
+        rdd.zipWithIndex(), schema="url string, id long"
+    )
+
+
+def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages -> (edges(src,dst) long, url_dict(url,id)).
+
+    Outlinks come from the vectorized ``extract_outlinks`` pandas UDF; the
+    vertex universe is crawled urls UNION link-target urls (targets outside
+    the crawl become dangling vertices, like SNAP ids with no out-edges).
+    """
+    raw = (
+        pages.select(F.col("url").alias("src_url"),
+                     extract_outlinks(F.col("html")).alias("outs"))
+        .select("src_url", F.explode("outs").alias("dst_url"))
+    )
+    urls = (
+        pages.select("url")
+        .unionByName(raw.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    d = url_id_dictionary(urls)
+    edges = (
+        raw.join(d.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"),
+                 "src_url")
+        .join(d.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"),
+              "dst_url")
+        .select("src", "dst")
+    )
+    return edges, d
+
+
+@dataclass
+class LinkGraph:
+    """The engine's materialized graph state, all persisted DataFrames."""
+
+    edges: DataFrame        # (src, dst, w double) — partitioned by src, cached
+    vertices: DataFrame     # (id, out_deg, in_deg, is_dangling) — cached
+    n_vertices: int
+    n_edges: int
+    url_dict: DataFrame | None = None  # (url, id) when built from pages
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.vertices.unpersist()
+
+
+def build_graph(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_vertices: int | None = None,
+    url_dict: DataFrame | None = None,
+    edge_partitions: int | None = None,
+    universe: DataFrame | None = None,
+) -> LinkGraph:
+    """Materialize the weighted, degree-annotated graph from raw (src,dst).
+
+    * out/in-degree (A1, /root/reference/kernel_bblock.cu:588-598) count
+      edge multiplicity — duplicate edges add transition weight, matching
+      the reference's one-line-per-edge accumulation.
+    * transition weight w = 1/out_deg(src) folded in at build time
+      (P1, /root/reference/kernel_bblock.cu:613) so the iteration loop
+      never recomputes it.
+    * ``is_dangling`` = no out-edges (P2 bookmark vector,
+      /root/reference/kernel_bblock.cu:606-609).
+    * ``n_vertices``: pass the id-space size when vertices exist with no
+      edges at all (isolated); default = ids seen in the edge table. When
+      given, the universe is ``spark.range(n_vertices)`` — dense-id contract.
+    """
+    if edge_partitions is None:
+        edge_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+
+    if universe is not None:
+        universe = universe.select("id")
+    elif n_vertices is not None:
+        universe = spark.range(n_vertices).select(F.col("id"))
+    else:
+        universe = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    vertices = (
+        universe.join(out_deg.withColumnRenamed("src", "id"), "id", "left")
+        .join(in_deg.withColumnRenamed("dst", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) == 0).alias("is_dangling"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    weighted = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        # CSC-analogue layout: partition by the per-iteration join key so the
+        # edge table is shuffled ONCE here and never again; sort within
+        # partitions for scan locality (the reference's grouped-by-key
+        # adjacency, kernel_bblock.cu:601-618).
+        .repartition(edge_partitions, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    n_edges = weighted.count()  # also materializes the cache
+    n = vertices.count()
+    return LinkGraph(edges=weighted, vertices=vertices, n_vertices=n,
+                     n_edges=n_edges, url_dict=url_dict)
+
+
+def graph_from_pages(spark: SparkSession, pages: DataFrame,
+                     edge_partitions: int | None = None) -> LinkGraph:
+    edges, d = edges_from_pages(pages)
+    # vertex universe = the full url dictionary: an isolated page (no in- or
+    # out-links) still holds rank mass, exactly as the reference's id space
+    # 0..n-1 includes unreferenced vertices.
+    return build_graph(spark, edges, url_dict=d, edge_partitions=edge_partitions,
+                       universe=d.select("id"))
+
+
+# ---------------------------------------------------------------------------
+# Skew analysis: degree histogram -> hot-vertex salt fan-out.
+# The DataFrame analogue of the reference's degree binning + small/large
+# kernel split (binary_resort/trans_to_b, kernel_bblock.cu:622-692): instead
+# of routing hot vertices to dedicated thread blocks, we give each hot
+# destination a salt fan-out so its partial sums spread over `fanout`
+# reducers before the final combine (the two-level reduction of
+# child_kernal, kernel_acsr.cu:93-120).
+# ---------------------------------------------------------------------------
+
+
+def degree_bins(vertices: DataFrame) -> DataFrame:
+    """Reference binning K1 (kernel_bblock.cu:622-659): bin 0 for in_deg 0,
+    else floor(log2(in_deg - 0.1)) + 1 capped at 13."""
+    return vertices.withColumn(
+        "bin",
+        F.when(F.col("in_deg") == 0, F.lit(0)).otherwise(
+            F.least(F.floor(F.log2(F.col("in_deg") - 0.1)) + 1, F.lit(13))
+        ).cast("int"),
+    )
+
+
+def hot_vertex_salts(vertices: DataFrame, hot_threshold: int = 100_000,
+                     target_bucket: int = 50_000) -> DataFrame:
+    """(id, fanout) for destinations whose in-degree exceeds the threshold.
+
+    fanout = ceil(in_deg / target_bucket): each salted bucket sees at most
+    ~target_bucket edge contributions. The table is tiny (only power-law
+    head vertices) and is broadcast onto the edge table.
+    """
+    return (
+        vertices.filter(F.col("in_deg") > hot_threshold)
+        .select("id", F.ceil(F.col("in_deg") / F.lit(target_bucket)).cast("int").alias("fanout"))
+    )
+
+
+def salted_edges(edges: DataFrame, salts: DataFrame) -> DataFrame:
+    """Attach salt = pmod(xxhash64(src), fanout) for hot dst, 0 otherwise."""
+    return (
+        edges.join(F.broadcast(salts.withColumnRenamed("id", "dst")), "dst", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("fanout").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("src"), F.col("fanout")).cast("int")
+            ),
+        )
+        .drop("fanout")
+    )

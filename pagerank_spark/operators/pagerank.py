@@ -1,0 +1,175 @@
+"""PageRank: power iteration with dangling-mass redistribution + L1 stop.
+
+Semantics follow the reference's main binaries exactly
+(/root/reference/kernel_bblock.cu:949-1085):
+
+  per superstep:
+    mass   = sum(rank[v] for dangling v)            # A3, kernel_bblock.cu:107-132
+    remain = alpha*mass/n + (1-alpha)/n             # P7, kernel_bblock.cu:966
+    contrib[v] = sum_{e: dst(e)=v} rank[src(e)]*w   # A2/J1, kernel_bblock.cu:323-464
+    rank'[v] = alpha*contrib[v] + remain            # P7 axpy
+    l1 = sum |rank' - rank|                         # A4, kernel_bblock.cu:466-531
+    stop when l1 <= tol (early exit, lightSpMV-style break PageRank.h:360)
+    or run a fixed iteration budget (kernel_* style, kernel_bblock.cu:949)
+
+Conventions: internal mass Σrank = 1 (lightSpMV init, PageRank.h:314-318);
+the reference's Σ=n view is ``rank*n`` (nvgraph writes pr*n on output,
+nvgraph_Pagerank.cpp:321). Under Σ=1, the reference's threshold
+eps = 1e-6·n (kernel_bblock.cu:877) becomes total-L1 <= 1e-6. fp64
+throughout: the reference's fp32 atomicAdd ordering is non-deterministic
+(kernel_acsr.cu:118); fp64 keeps us inside the 1e-6 allclose contract.
+
+Physical design (what makes this hold at 10^12 edges):
+  * the weighted edge table is hash-partitioned by ``src`` ONCE at build
+    (operators/graph.py) and cached — per iteration only the O(n) rank
+    table shuffles to meet it; the O(nnz) table never moves.
+  * the contribution aggregate relies on Spark's partial (map-side)
+    aggregation to collapse edge-cardinality rows to per-(partition,dst)
+    rows before the shuffle — the two-level tree reduction of
+    child_kernal (kernel_acsr.cu:93-120) for free — plus explicit salting
+    for power-law head destinations (two-level groupBy), the analogue of
+    the one-block-per-hot-vertex kernel (kernel_bblock.cu:219-260).
+  * each superstep checkpoints through plans/checkpoint.py: lineage stays
+    O(1), and a dir-backed run resumes from the last committed superstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.graph import LinkGraph, hot_vertex_salts, salted_edges
+from pagerank_spark.plans.checkpoint import StageTimer, SuperstepCheckpointer
+
+ALPHA_DEFAULT = 0.85   # kernel_bblock.cu:876
+TOL_DEFAULT = 1e-6     # kernel_bblock.cu:877 (eps = 1e-6*n under the Σ=n view)
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame                  # (id long, rank double), Σrank = 1
+    iterations: int
+    converged: bool
+    l1_diff: float
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    def reference_scale(self) -> DataFrame:
+        """The reference's Σ=n view (nvgraph_Pagerank.cpp:321 writes pr*n)."""
+        n = self.ranks.count()
+        return self.ranks.select("id", (F.col("rank") * F.lit(float(n))).alias("rank"))
+
+
+def _contributions(edges: DataFrame, ranks: DataFrame, salted: bool) -> DataFrame:
+    """contrib(dst) = Σ rank(src)·w — the SpMV row reduce (A2)."""
+    joined = edges.join(
+        ranks.select(F.col("id").alias("src"), "rank"), "src"
+    ).select("dst", *((["salt"] if salted else [])), (F.col("rank") * F.col("w")).alias("c"))
+    if salted:
+        partial = joined.groupBy("dst", "salt").agg(F.sum("c").alias("c"))
+        return partial.groupBy("dst").agg(F.sum("c").alias("contrib"))
+    return joined.groupBy("dst").agg(F.sum("c").alias("contrib"))
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = ALPHA_DEFAULT,
+    tol: float | None = TOL_DEFAULT,
+    max_iter: int = 100,
+    checkpointer: SuperstepCheckpointer | None = None,
+    salt_hot_threshold: int = 100_000,
+    salt_target_bucket: int = 50_000,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run power iteration on a built LinkGraph.
+
+    ``tol=None`` reproduces the reference's fixed-iteration mode
+    (kernel_bblock.cu:949 never breaks on eps); otherwise early-exit on
+    total L1 <= tol. ``resume=True`` with a dir-backed checkpointer picks
+    up from the last committed superstep.
+    """
+    spark = graph.edges.sparkSession
+    ckpt = checkpointer or SuperstepCheckpointer(spark, None)
+    n = graph.n_vertices
+
+    # skew pre-pass: fan-out map for power-law head destinations (K1/K2)
+    salts = hot_vertex_salts(graph.vertices, salt_hot_threshold, salt_target_bucket)
+    use_salt = salts.limit(1).count() > 0
+    edges = salted_edges(graph.edges, salts) if use_salt else graph.edges
+    if use_salt:
+        edges = edges.persist()
+        edges.count()
+
+    dangling = graph.vertices.select("id", "is_dangling")
+
+    start_iter = 0
+    if resume:
+        last = ckpt.last_committed()
+        if last is not None:
+            start_iter = last
+            ranks = ckpt.load(last)
+        else:
+            ranks = None
+    else:
+        ranks = None
+    if ranks is None:
+        # P6 uniform init, Σ=1 (lightSpMV PageRank.h:314-318)
+        ranks = graph.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = ckpt.save(0, ranks)
+
+    # annotate with the dangling flag once per loaded ranks DF
+    def with_flag(r: DataFrame) -> DataFrame:
+        return r.join(dangling, "id")
+
+    converged = False
+    l1 = float("inf")
+    it = start_iter
+    flagged = with_flag(ranks)
+    for it in range(start_iter + 1, max_iter + 1):
+        timer = StageTimer()
+        # A3: dangling mass -> driver scalar (the cudaMemcpy of one float,
+        # kernel_bblock.cu:965)
+        mass_row = flagged.filter("is_dangling").agg(F.sum("rank")).first()
+        mass = float(mass_row[0] or 0.0)
+        remain = alpha * mass / n + (1.0 - alpha) / n
+
+        contribs = _contributions(edges, ranks, use_salt)
+        # left join against the full vertex universe: vertices with no
+        # in-edges still receive `remain` (kernel_bblock.cu:333-339).
+        new_ranks = (
+            graph.vertices.select("id")
+            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 + F.lit(remain)).alias("rank"),
+            )
+        )
+        new_ranks = ckpt.save(it, new_ranks)
+
+        # A4: L1 convergence norm
+        stats = (
+            new_ranks.alias("new")
+            .join(ranks.alias("old"), "id")
+            .agg(
+                F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("l1"),
+                F.sum("new.rank").alias("mass_sum"),
+            )
+            .first()
+        )
+        l1 = float(stats["l1"])
+        ckpt.record(
+            it, new_ranks,
+            l1_diff=l1, dangling_mass=mass, rank_sum=float(stats["mass_sum"]),
+            edges_processed=graph.n_edges, wall_ms=timer.lap_ms(),
+        )
+        ranks = new_ranks
+        flagged = with_flag(ranks)
+        if tol is not None and l1 <= tol:
+            converged = True
+            break
+
+    return PageRankResult(ranks=ranks, iterations=it, converged=converged,
+                          l1_diff=l1, metrics=ckpt.metrics or ckpt.load_metrics())

@@ -1,0 +1,108 @@
+"""Pure-NumPy oracles implementing the reference's exact math contract.
+
+Used only by tests — never by the engine. The PageRank oracle reproduces
+the semantics of /root/reference/kernel_bblock.cu:949-1085 (power iteration,
+w=1/out_deg with edge multiplicity, dangling-mass redistribution
+remain = alpha*mass/n + (1-alpha)/n, L1 stop), in the Σ=1 convention the
+engine uses internally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pagerank_oracle(
+    edges: list[tuple[int, int]],
+    n: int,
+    alpha: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iter: int = 100,
+) -> np.ndarray:
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    w = 1.0 / out_deg[src]
+    dangling = out_deg == 0
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        mass = r[dangling].sum()
+        remain = alpha * mass / n + (1.0 - alpha) / n
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * w)
+        r_new = alpha * contrib + remain
+        l1 = np.abs(r_new - r).sum()
+        r = r_new
+        if tol is not None and l1 <= tol:
+            break
+    return r
+
+
+def components_oracle(edges: list[tuple[int, int]], n: int) -> np.ndarray:
+    """Union-find; component label = min vertex id in component."""
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    labels = np.array([find(i) for i in range(n)])
+    # normalize to min-id-in-component
+    comp_min: dict[int, int] = {}
+    for i, c in enumerate(labels):
+        comp_min[c] = min(comp_min.get(c, i), i)
+    return np.array([comp_min[c] for c in labels])
+
+
+def triangles_oracle(edges: list[tuple[int, int]]) -> int:
+    """Total triangle count on the undirected simple graph induced by edges."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in und:
+        count += len(adj[a] & adj[b])
+    return count // 3
+
+
+def label_prop_oracle(
+    edges: list[tuple[int, int]], n: int, max_iter: int = 20
+) -> np.ndarray:
+    """Synchronous label propagation on the undirected graph.
+
+    Per round, each vertex with neighbors takes the most frequent neighbor
+    label, ties broken by MIN label (determinism). Stops at fixpoint.
+    Mirrors operators/labelprop.py exactly.
+    """
+    neigh: dict[int, list[int]] = {i: [] for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            neigh[s].append(d)
+            neigh[d].append(s)
+    labels = np.arange(n)
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            if not neigh[v]:
+                continue
+            counts: dict[int, int] = {}
+            for u in neigh[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if (new == labels).all():
+            break
+        labels = new
+    return labels

@@ -1,0 +1,114 @@
+"""Superstep checkpoint + resume + iteration metrics.
+
+Iterative DataFrame jobs have two failure modes the reference never faced:
+
+1. **Lineage blow-up** — each superstep's plan nests the previous one; by
+   iteration 40 analysis time dominates. The reference double-buffers two
+   device arrays (/root/reference/kernel_bblock.cu:1082); our analogue is a
+   per-superstep checkpoint that truncates lineage.
+2. **Job death mid-run** — the north rule requires resume from the last
+   committed superstep with per-partition lineage + metrics.
+
+Two modes:
+* ``dir=None``  -> ``localCheckpoint(eager=True)`` (fast, in-memory, no resume)
+* ``dir=path``  -> parquet write per superstep (``<dir>/ranks/iter=K``) with
+  parquet's atomic ``_SUCCESS`` marker as the commit point, plus a metrics
+  row appended to ``<dir>/metrics`` recording iteration, L1 diff, dangling
+  mass, wall ms, and per-partition row counts (the partition lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "iteration int, l1_diff double, dangling_mass double, rank_sum double, "
+    "edges_processed long, wall_ms double, n_partitions int, "
+    "partition_rows string"
+)
+
+
+class SuperstepCheckpointer:
+    def __init__(self, spark: SparkSession, directory: str | None = None,
+                 track_partition_lineage: bool = True):
+        self.spark = spark
+        self.dir = directory
+        self.track_partition_lineage = track_partition_lineage and directory is not None
+        self.metrics: list[dict[str, Any]] = []
+        if self.dir:
+            os.makedirs(os.path.join(self.dir, "ranks"), exist_ok=True)
+
+    # -- checkpoint -------------------------------------------------------
+
+    def _iter_path(self, iteration: int) -> str:
+        return os.path.join(self.dir, "ranks", f"iter={iteration}")
+
+    def save(self, iteration: int, ranks: DataFrame) -> DataFrame:
+        """Materialize this superstep's ranks and return a lineage-free DF."""
+        if self.dir is None:
+            return ranks.localCheckpoint(eager=True)
+        path = self._iter_path(iteration)
+        ranks.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def record(self, iteration: int, ranks: DataFrame, **metric: Any) -> dict[str, Any]:
+        """Append one metrics row (the telemetry sink S4 of the reference,
+        /root/reference/for_test.h:51-85, re-expressed as a metrics table)."""
+        row: dict[str, Any] = {"iteration": iteration, **metric}
+        if self.track_partition_lineage:
+            pid_rows = (
+                ranks.groupBy(F.spark_partition_id().alias("pid"))
+                .count().orderBy("pid").collect()
+            )
+            row["n_partitions"] = len(pid_rows)
+            row["partition_rows"] = json.dumps({int(r.pid): int(r["count"]) for r in pid_rows})
+        self.metrics.append(row)
+        if self.dir:
+            with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+        return row
+
+    # -- resume -----------------------------------------------------------
+
+    def last_committed(self) -> int | None:
+        """Highest iteration whose parquet commit marker exists."""
+        if self.dir is None:
+            return None
+        base = os.path.join(self.dir, "ranks")
+        best = None
+        if os.path.isdir(base):
+            for name in os.listdir(base):
+                if name.startswith("iter=") and os.path.exists(
+                    os.path.join(base, name, "_SUCCESS")
+                ):
+                    k = int(name.split("=", 1)[1])
+                    best = k if best is None or k > best else best
+        return best
+
+    def load(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._iter_path(iteration))
+
+    def load_metrics(self) -> list[dict[str, Any]]:
+        if self.dir and os.path.exists(os.path.join(self.dir, "metrics.jsonl")):
+            with open(os.path.join(self.dir, "metrics.jsonl")) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        return self.metrics
+
+
+class StageTimer:
+    """Reference timing sink S5 (sdkTimers, kernel_bblock.cu:884-886)."""
+
+    def __init__(self) -> None:
+        self.t0 = time.monotonic()
+
+    def lap_ms(self) -> float:
+        now = time.monotonic()
+        ms = (now - self.t0) * 1000.0
+        self.t0 = now
+        return ms

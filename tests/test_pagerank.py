@@ -1,0 +1,121 @@
+"""PageRank correctness: G6 golden vector, NumPy oracle, mass conservation,
+salting invariance, fixed-iteration mode, checkpoint resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.operators.graph import build_graph, graph_from_pages
+from pagerank_spark.operators.pagerank import pagerank
+from pagerank_spark.oracle import pagerank_oracle
+from pagerank_spark.plans.checkpoint import SuperstepCheckpointer
+from pagerank_spark.sources import synth
+
+
+def _ranks_vec(result, n):
+    out = np.zeros(n)
+    for r in result.ranks.collect():
+        out[r.id] = r.rank
+    return out
+
+
+@pytest.fixture(scope="module")
+def g6(spark):
+    edges = spark.createDataFrame(synth.G6_EDGES, schema="src long, dst long")
+    return build_graph(spark, edges, n_vertices=6)
+
+
+def test_g6_golden_alpha09(spark, g6):
+    """The reference's only golden vector (nvgraph_Pagerank.cpp:40-69,
+    Langville & Meyer, alpha=0.9, sum-to-1)."""
+    res = pagerank(g6, alpha=0.9, tol=1e-10, max_iter=300)
+    got = _ranks_vec(res, 6)
+    np.testing.assert_allclose(got, synth.G6_RANKS_A09, atol=1e-3)
+
+
+def test_g6_matches_oracle_alpha085(spark, g6):
+    res = pagerank(g6, alpha=0.85, tol=1e-9, max_iter=300)
+    want = pagerank_oracle(synth.G6_EDGES, 6, alpha=0.85, tol=1e-9, max_iter=300)
+    np.testing.assert_allclose(_ranks_vec(res, 6), want, atol=1e-6)
+    assert res.converged
+
+
+def test_pages_to_ranks_end_to_end(spark):
+    """Full stack: synthetic pages -> extraction -> edges -> PageRank vs oracle."""
+    pages = synth.synth_pages(spark, 150)
+    g = graph_from_pages(spark, pages)
+    # oracle graph: same edges in id space
+    url_to_id = {r.url: r.id for r in g.url_dict.collect()}
+    edges = [
+        (url_to_id[synth.url_of(i)], url_to_id[u])
+        for i in range(150)
+        for u in synth.outlinks_of(i)
+    ]
+    res = pagerank(g, alpha=0.85, tol=1e-8, max_iter=200)
+    want = pagerank_oracle(edges, g.n_vertices, 0.85, tol=1e-8, max_iter=200)
+    np.testing.assert_allclose(_ranks_vec(res, g.n_vertices), want, atol=1e-6)
+
+
+def test_mass_conservation_dangling_heavy(spark):
+    """F6: Σrank = 1 ± 1e-9 every iteration even with 40% dangling."""
+    edges_df = synth.dangling_heavy_edges(spark, 400)
+    g = build_graph(spark, edges_df, n_vertices=400)
+    res = pagerank(g, tol=1e-8, max_iter=60)
+    for m in res.metrics:
+        assert abs(m["rank_sum"] - 1.0) < 1e-9, m
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    want = pagerank_oracle(edges, 400, 0.85, tol=1e-8, max_iter=60)
+    np.testing.assert_allclose(_ranks_vec(res, 400), want, atol=1e-6)
+
+
+def test_all_dangling_graph_uniform(spark):
+    """No edges at all -> ranks stay uniform."""
+    edges = spark.createDataFrame([], schema="src long, dst long")
+    g = build_graph(spark, edges, n_vertices=10)
+    res = pagerank(g, tol=1e-9, max_iter=50)
+    np.testing.assert_allclose(_ranks_vec(res, 10), np.full(10, 0.1), atol=1e-12)
+
+
+def test_salting_does_not_change_results(spark):
+    edges_df = synth.skew_edges(spark, 1500)
+    g = build_graph(spark, edges_df, n_vertices=1500)
+    plain = pagerank(g, tol=1e-8, max_iter=40, salt_hot_threshold=10**9)
+    salted = pagerank(g, tol=1e-8, max_iter=40,
+                      salt_hot_threshold=50, salt_target_bucket=25)
+    np.testing.assert_allclose(
+        _ranks_vec(plain, 1500), _ranks_vec(salted, 1500), atol=1e-12
+    )
+
+
+def test_fixed_iteration_mode(spark, g6):
+    """tol=None reproduces the reference's fixed-budget loop
+    (kernel_bblock.cu:949 runs all max_iteration supersteps)."""
+    res = pagerank(g6, alpha=0.85, tol=None, max_iter=7)
+    assert res.iterations == 7 and not res.converged
+    want = pagerank_oracle(synth.G6_EDGES, 6, 0.85, tol=None, max_iter=7)
+    np.testing.assert_allclose(_ranks_vec(res, 6), want, atol=1e-12)
+
+
+def test_checkpoint_resume_identical(spark, tmp_path, g6):
+    """Kill after superstep k, resume -> final ranks identical to straight run."""
+    straight = pagerank(g6, alpha=0.85, tol=None, max_iter=12)
+
+    ck1 = SuperstepCheckpointer(spark, str(tmp_path / "ck"))
+    pagerank(g6, alpha=0.85, tol=None, max_iter=5, checkpointer=ck1)  # "killed" at 5
+    ck2 = SuperstepCheckpointer(spark, str(tmp_path / "ck"))
+    assert ck2.last_committed() == 5
+    resumed = pagerank(g6, alpha=0.85, tol=None, max_iter=12,
+                       checkpointer=ck2, resume=True)
+    np.testing.assert_allclose(
+        _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15
+    )
+    # metrics carry per-partition lineage
+    rows = ck2.load_metrics()
+    assert rows and all("partition_rows" in m for m in rows)
+
+
+def test_reference_scale_view(spark, g6):
+    res = pagerank(g6, alpha=0.85, tol=1e-9)
+    ref = {r.id: r.rank for r in res.reference_scale().collect()}
+    assert abs(sum(ref.values()) - 6.0) < 1e-9
