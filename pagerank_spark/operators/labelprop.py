@@ -1,0 +1,82 @@
+"""Label propagation: synchronous rounds over the undirected graph.
+
+Absent from the reference (SURVEY.md §2.9); mandated by the north rule.
+Semantics (deterministic, so results are exactly reproducible and the
+NumPy oracle can assert equality):
+
+  labels[v] := v initially
+  per round, every vertex with >=1 neighbor takes the most frequent label
+  among its neighbors' current labels; ties break to the SMALLEST label.
+  Vertices with no neighbors keep their label. Stop at fixpoint or after
+  ``max_rounds``.
+
+DataFrame formulation per round (SURVEY.md §2.9): join labels onto the
+symmetric edge list, count by (vertex, label), then one max_by aggregation
+picking struct(count, -label) — no window function, so the round is two
+shuffles on (vertex) and (vertex, label).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame      # (id long, label long)
+    rounds: int
+    converged: bool
+
+
+def label_propagation(
+    edges: DataFrame,
+    universe: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> LabelPropResult:
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        sym.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    if universe is not None:
+        vertices = vertices.unionAll(universe.select("id")).distinct()
+    vertices = vertices.localCheckpoint(eager=True)
+
+    labels = vertices.select("id", F.col("id").alias("label"))
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # neighbor labels: for edge (src,dst), vertex src sees label(dst)
+        neigh = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = neigh.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        # most frequent, ties -> min label: max over struct(c, -label)
+        best = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("s")
+        ).select("id", (-F.col("s.nl")).alias("new_label"))
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    return LabelPropResult(labels=labels, rounds=rounds, converged=converged)

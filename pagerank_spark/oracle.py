@@ -86,11 +86,11 @@ def label_prop_oracle(
     label, ties broken by MIN label (determinism). Stops at fixpoint.
     Mirrors operators/labelprop.py exactly.
     """
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
     neigh: dict[int, list[int]] = {i: [] for i in range(n)}
-    for s, d in edges:
-        if s != d:
-            neigh[s].append(d)
-            neigh[d].append(s)
+    for a, b in und:
+        neigh[a].append(b)
+        neigh[b].append(a)
     labels = np.arange(n)
     for _ in range(max_iter):
         new = labels.copy()

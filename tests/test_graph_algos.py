@@ -1,0 +1,85 @@
+"""Connected components, label propagation, triangle counting vs exact oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.functions.hashing import mix2
+from pagerank_spark.operators.components import connected_components
+from pagerank_spark.operators.labelprop import label_propagation
+from pagerank_spark.operators.triangles import triangle_count, triangles_per_vertex
+from pagerank_spark.oracle import components_oracle, label_prop_oracle, triangles_oracle
+from pagerank_spark.sources import synth
+
+
+def _random_edges(n: int, m: int, seed_tag: int) -> list[tuple[int, int]]:
+    ids = np.arange(m, dtype=np.uint64)
+    src = mix2(ids, seed_tag) % np.uint64(n)
+    dst = mix2(ids, seed_tag ^ 0xBEEF) % np.uint64(n)
+    return [(int(s), int(d)) for s, d in zip(src, dst)]
+
+
+@pytest.fixture(scope="module")
+def f7(spark):
+    return synth.components_fixture_edges(spark)
+
+
+def test_components_f7_exact(spark, f7):
+    res = connected_components(f7, universe=spark.range(synth.F7_N_VERTICES))
+    assert res.converged
+    got = {r.id: r.component for r in res.labels.collect()}
+    edges = [(r.src, r.dst) for r in f7.collect()]
+    want = components_oracle(edges, synth.F7_N_VERTICES)
+    assert got == {i: int(want[i]) for i in range(synth.F7_N_VERTICES)}
+    # structure: ring+clique merged by bridge -> component 0; star -> 58; isolated self
+    assert got[55] == 0 and got[70] == 58 and got[80] == 80
+
+
+@pytest.mark.parametrize("n,m,tag", [(200, 150, 1), (300, 600, 2), (50, 20, 3)])
+def test_components_random_exact(spark, n, m, tag):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = connected_components(df, universe=spark.range(n))
+    got = {r.id: r.component for r in res.labels.collect()}
+    want = components_oracle(edges, n)
+    assert got == {i: int(want[i]) for i in range(n)}
+
+
+def test_labelprop_f7_exact(spark, f7):
+    res = label_propagation(f7, universe=spark.range(synth.F7_N_VERTICES), max_rounds=25)
+    got = {r.id: r.label for r in res.labels.collect()}
+    edges = [(r.src, r.dst) for r in f7.collect()]
+    want = label_prop_oracle(edges, synth.F7_N_VERTICES, max_iter=25)
+    assert got == {i: int(want[i]) for i in range(synth.F7_N_VERTICES)}
+
+
+@pytest.mark.parametrize("n,m,tag", [(120, 200, 7), (80, 400, 8)])
+def test_labelprop_random_exact(spark, n, m, tag):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = label_propagation(df, universe=spark.range(n), max_rounds=8)
+    got = {r.id: r.label for r in res.labels.collect()}
+    want = label_prop_oracle(edges, n, max_iter=8)
+    assert got == {i: int(want[i]) for i in range(n)}
+
+
+def test_triangles_f7(spark, f7):
+    # clique of 8 -> C(8,3)=56; ring/star/bridge contribute none
+    assert triangle_count(f7) == 56
+    assert triangle_count(f7, order_by_degree=False) == 56
+    per_v = {r.id: r.triangles for r in triangles_per_vertex(f7).collect()}
+    # every clique vertex is in C(7,2)=21 triangles
+    assert all(per_v[50 + i] == 21 for i in range(8))
+    assert set(per_v) == {50 + i for i in range(8)}
+
+
+@pytest.mark.parametrize("n,m,tag", [(60, 300, 11), (40, 500, 12)])
+def test_triangles_random(spark, n, m, tag):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = triangles_oracle(edges)
+    assert triangle_count(df) == want
+    per_v = triangles_per_vertex(df)
+    total3 = sum(r.triangles for r in per_v.collect())
+    assert total3 == 3 * want
