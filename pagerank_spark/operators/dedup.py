@@ -1,0 +1,267 @@
+"""Deduplication over a documents table: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 10^12 docs):
+
+* Exact dedup is one hash-groupBy — partial aggregation collapses
+  duplicates map-side before the shuffle.
+* MinHash signatures are computed WITHOUT a per-permutation explode:
+  shingles are hashed once (xxhash64), then the k permutations are affine
+  maps (a_i*h + b_i mod p) evaluated as k min-aggregations in a single
+  groupBy pass (JVM-side, codegen). LSH banding turns the O(n^2) pair
+  space into per-bucket joins; a frequency cap on buckets (drop buckets
+  with > max_bucket docs, i.e. stop-shingle removal) bounds the worst-case
+  join fan-out — the same hot-key discipline as the PageRank salting.
+* SimHash is 64 conditional sums per token row in one groupBy pass.
+* Exact n-gram Jaccard runs only on LSH candidate pairs (verify step),
+  never all pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.hashing import mix2
+from pagerank_spark.operators.textops import tokens
+
+# 31-bit Mersenne prime: affine-map products stay < 2^62, inside int64 even
+# under ANSI overflow checking; 2^31 hash space is ample for per-doc shingle
+# sets (collision probability per permutation ~ |set|/2^31).
+_MERSENNE31 = (1 << 31) - 1
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fp, n_docs, doc_ids).
+
+    Hash-groupBy on md5 of normalized text (SURVEY.md training-data ops)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- shingles + MinHash -----------------------------------------------------
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct lower-cased word n-gram per doc, as a
+    64-bit hash (xxhash64) so downstream state is fixed-width."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("shingle"))
+        .distinct()
+    )
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    a = mix2(np.arange(k, dtype=np.uint64), seed) % np.uint64(_MERSENNE31 - 1) + np.uint64(1)
+    b = mix2(np.arange(k, dtype=np.uint64), seed ^ 0xABCD) % np.uint64(_MERSENNE31)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signatures(sh: DataFrame, k: int = 64, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>[k]) — k affine permutations min-aggregated in
+    ONE pass (no explode-by-permutation)."""
+    params = _minhash_params(k, seed)
+    # shingle hash -> non-negative 31-bit domain before the affine map
+    h = F.pmod(F.col("shingle"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """(a, b) candidate doc pairs sharing >=1 LSH band bucket (a < b).
+
+    bands*rows must equal len(sig). Buckets larger than ``max_bucket`` are
+    dropped (stop-shingle discipline): they would contribute O(bucket^2)
+    pairs and correspond to boilerplate."""
+    band_cols = F.explode(
+        F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.xxhash64(F.slice("sig", j * rows + 1, rows).cast("string"))
+                     .alias("bucket"))
+            for j in range(bands)
+        ])
+    ).alias("bb")
+    buckets = sigs.select("doc_id", band_cols).select("doc_id", "bb.band", "bb.bucket")
+    counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    small = buckets.join(counts.filter(F.col("sz") <= max_bucket), ["band", "bucket"])
+    pairs = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_similarity(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, est_jaccard) — fraction of equal signature components."""
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b",
+                (F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+                 / F.size("sig_a")).alias("est_jaccard"))
+    )
+
+
+def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — exact shingle-set Jaccard, computed only on the
+    candidate pairs (the verify step)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .select(
+            "a", "b",
+            (F.coalesce("inter", F.lit(0))
+             / (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0)))
+             ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame, threshold: float = 0.8, k: int = 64,
+    bands: int = 16, rows: int = 4, ngram: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pipeline: shingle -> minhash -> band
+    -> bucket-join -> exact-Jaccard verify. Returns (a, b, jaccard) pairs
+    with jaccard >= threshold."""
+    sh = shingles(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, k)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    return exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long) — sign of per-bit ±1 sums over token hashes,
+    one groupBy pass with ``bits`` conditional sums (JVM-side)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            block_bits: int = 16) -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: with 64/block_bits=4 blocks and max_hamming<=3, any qualifying
+    pair agrees exactly on >=1 block (pigeonhole) — candidates come from
+    equi-joins on block values, never a cross join."""
+    fps = simhash(docs, id_col, text_col)
+    n_blocks = 64 // block_bits
+    assert max_hamming < n_blocks, "pigeonhole requires max_hamming < n_blocks"
+    mask = (1 << block_bits) - 1
+    blocks = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("blk"),
+                     F.shiftright("simhash", j * block_bits)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for j in range(n_blocks)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.val")
+    cands = (
+        blocks.alias("x").join(blocks.alias("y"), ["blk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("x.simhash").alias("ha"),
+                F.col("y.doc_id").alias("b"), F.col("y.simhash").alias("hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side
+    (zip_with product + aggregate sum — no Python in the loop)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold, via random-hyperplane LSH
+    bucketing (deterministic seeded planes) + within-bucket verification."""
+    from pagerank_spark.operators.similarity import hyperplane_buckets
+
+    b = hyperplane_buckets(emb, id_col, vec_col, planes, seed, tables=4)
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cands = (
+        b.alias("x").join(b.alias("y"), ["table", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sim = cands.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine(F.col("va").cast("array<double>"),
+                         F.col("vb").cast("array<double>")).alias("cos"))
+    return sim.filter(F.col("cos") >= threshold)

@@ -1,0 +1,133 @@
+"""Text analysis over a documents table: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All hot-path columns are built-in pyspark.sql.functions expressions
+(JVM-side, whole-stage codegen); the only pandas UDF is the polynomial
+rolling-hash fingerprint, which has no built-in equivalent. Every operator
+takes a DataFrame with a text column and returns columns aliased for the
+DuckDB oracle contract in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# whitespace tokenization + a BPE-ish word/punct splitter
+WS_SPLIT = r"\s+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "at", "by", "this", "be", "are", "or"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "nicht", "ein", "eine", "auf", "für", "im", "dem", "des", "als"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "dans", "que",
+           "pour", "qui", "sur", "pas", "au", "des", "par", "du"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "en",
+           "que", "por", "con", "para", "del", "se", "no", "su"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empty strings removed; null text -> []
+    (otherwise NULL token counts leak into `least`-based scores, which skip
+    nulls and would give null documents a perfect quality score)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), WS_SPLIT), lambda x: x != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of word/number/punct tokens under the BPE-ish regex."""
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_ISH)), F.lit(0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*sw)))
+
+
+def language_id(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID over {en,de,fr,es}; 'und' if no
+    stopword of any language occurs. Ties break by language order above
+    (deterministic)."""
+    scores = [
+        F.struct(stopword_hits(text, lang).alias("hits"),
+                 F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(STOPWORDS)
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1] from length / punctuation / stopword ratios.
+
+    score = 0.4*len_score + 0.3*stopword_ratio_score + 0.3*(1 - punct_ratio)
+      len_score      = min(n_tokens/100, 1)
+      stopword_ratio = en-stopword hits / n_tokens   (capped at 0.5, scaled)
+      punct_ratio    = punctuation chars / chars     (capped at 0.5, scaled)
+    Pure arithmetic on counts -> identical in ANSI SQL for the oracle.
+    """
+    n_tok = token_count(text)
+    n_chars = F.length(F.coalesce(text, F.lit("")))
+    punct = F.coalesce(F.regexp_count(text, F.lit(r"[^\w\s]")), F.lit(0))
+    sw = stopword_hits(text, "en")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw / F.greatest(n_tok, F.lit(1)) / F.lit(0.5), F.lit(1.0))
+    punct_ratio = F.least(punct / F.greatest(n_chars, F.lit(1)) / F.lit(0.5), F.lit(1.0))
+    return (F.lit(0.4) * len_score + F.lit(0.3) * sw_score
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+
+
+# -- fingerprinting ---------------------------------------------------------
+
+_FP_BASE = np.uint64(1000003)
+_FP_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _poly_hash(s: str) -> int:
+    """Polynomial rolling hash of the raw text, mod 2^64 (deterministic,
+    locale-free). Signed int64 for parquet/Spark friendliness."""
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for b in s.encode("utf-8"):
+            h = h * _FP_BASE + np.uint64(b)
+    return int(h.astype(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch of polynomial rolling hashes (per-doc loop is
+    over bytes — no built-in equivalent; batches amortize the Python cost)."""
+    return text.fillna("").map(_poly_hash)
+
+
+def fingerprint_exact(text: Column) -> Column:
+    """md5 of the normalized text — SQL-parity fingerprint (DuckDB md5)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def analyze_documents(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """One-pass document profile: all text metrics as columns."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        language_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint_exact(t).alias("fp_md5"),
+        rolling_fingerprint(t).alias("fp_rolling"),
+    )

@@ -1,0 +1,79 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups(spark):
+    """Testdata documents plus planted near/exact duplicates."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.filter("doc_id < 20").collect()
+    planted = []
+    for r in base[:5]:
+        planted.append((10_000 + r.doc_id, r.text))                 # exact dup
+    for r in base[5:10]:
+        words = r.text.split()
+        mutated = " ".join(words[:-2] + ["zzz"]) if len(words) > 4 else r.text
+        planted.append((20_000 + r.doc_id, mutated))                # near dup
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    return docs.unionByName(extra)
+
+
+def test_exact_duplicates(spark):
+    docs = _docs_with_dups(spark)
+    groups = dedup.exact_duplicates(docs).collect()
+    pairs = {tuple(sorted(g.doc_ids)) for g in groups}
+    for i in range(5):
+        assert any(i in p and 10_000 + i in p for p in pairs), i
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs_with_dups(spark)
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, k=64)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=16, rows=4)
+    est = dedup.minhash_similarity(sigs, cands)
+    exact = dedup.exact_jaccard(sh, cands)
+    joined = est.join(exact, ["a", "b"]).collect()
+    assert joined, "LSH produced no candidates"
+    for r in joined:
+        assert abs(r.est_jaccard - r.jaccard) < 0.35, (r.a, r.b, r.est_jaccard, r.jaccard)
+
+
+def test_minhash_near_duplicates_finds_planted(spark):
+    docs = _docs_with_dups(spark)
+    found = dedup.near_duplicates_minhash(docs, threshold=0.6).collect()
+    got_pairs = {(r.a, r.b) for r in found}
+    for i in range(5):  # exact dups must be found with jaccard 1.0
+        assert (i, 10_000 + i) in got_pairs, (i, sorted(got_pairs))
+    exacts = [r for r in found if r.b == r.a + 10_000]
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in exacts)
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    docs = _docs_with_dups(spark)
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    for i in range(5):
+        assert fps[i] == fps[10_000 + i]  # identical text -> identical simhash
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    got = {(r.a, r.b) for r in pairs}
+    for i in range(5):
+        assert (i, 10_000 + i) in got
+
+
+def test_embedding_near_duplicates(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant: vec 90001 = copy of vec 1 (cosine 1.0)
+    v1 = emb.filter("vec_id = 1").select("embedding").first()[0]
+    extra = spark.createDataFrame([(90_001, v1, 0)],
+                                  schema=emb.schema)
+    both = emb.unionByName(extra)
+    pairs = dedup.embedding_near_duplicates(both, threshold=0.99)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 90_001) in got

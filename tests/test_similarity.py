@@ -1,0 +1,61 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+
+    for qid in by_q:
+        qi = np.where(ids == qid)[0][0]
+        sims = mat_n @ mat_n[qi]
+        sims[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:5]
+        want_ids = [int(ids[j]) for j in order]
+        got_ids = [r.neighbor_id for r in by_q[qid]]
+        assert got_ids == want_ids, (qid, got_ids, want_ids)
+        for r, j in zip(by_q[qid], order):
+            assert abs(r.cos - sims[j]) < 1e-9
+
+
+def test_ann_lsh_recall(spark, emb):
+    # this corpus's true top-5 neighbors are weak (cosine ~0.32), so the
+    # hash must be coarse: 4 planes x 16 tables gives ~0.9 expected recall
+    # (collision prob (1-theta/pi)^4 per table). On near-dup workloads
+    # (cosine > 0.9) the default finer hash is the right trade.
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk_lsh(emb, queries, k=5, planes=4, tables=16).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+
+
+def test_ann_schema_matches_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    a = cosine_topk(emb, queries, k=3)
+    b = ann_topk_lsh(emb, queries, k=3)
+    assert a.columns == b.columns == ["query_id", "neighbor_id", "cos", "rank"]
