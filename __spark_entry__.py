@@ -1,38 +1,703 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full PageRank-to-convergence on the link graph
+derived from the sf0.001 tables, returning top pages with degrees.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (plus the training-data pipeline ops). The link graph for the
+graph-algorithm queries is derived DETERMINISTICALLY from the lineitem
+table (src = l_partkey % 2048, dst = l_orderkey % 2048) so the Spark query
+and the DuckDB oracle see byte-identical edges with no side-channel data;
+partkey-as-source leaves high dst residues with no out-edges => real
+dangling vertices, exercising the reference's bookmark/dangling-mass path
+(/root/reference/kernel_bblock.cu:606-609,966).
+
+Floating-point discipline for value-hash parity:
+  * money/metric sums go through exact DECIMAL(18,x) accumulation on both
+    engines, then CAST to DOUBLE — bit-identical regardless of row order.
+  * iterative PageRank ranks are rounded at 6 decimals on the Σ=n scale
+    (sum-order fp noise is ~1e-15, twelve orders below the grid).
+  * every computed column is aliased identically in both engines.
+
+Iterative algorithms get unrolled-CTE oracles (PageRank 3 supersteps,
+label propagation 2 rounds) or recursive-CTE oracles (connected
+components = min reachable id); genuinely non-SQL ops (MinHash-LSH,
+SimHash, hyperplane-LSH ANN, multimodal mapInPandas) are rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MOD = 2048          # vertex-id space of the derived link graph
+PR_ITERS = 3        # unrolled supersteps in the PageRank oracle
+LP_ROUNDS = 2       # unrolled label-propagation rounds
+ALPHA = 0.85        # kernel_bblock.cu:876
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic derived edge table (src, dst) — see module docstring."""
+    return _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % MOD).alias("src"),
+        (F.col("l_orderkey") % MOD).alias("dst"),
+    )
+
+
+# edge-list CTEs shared by every graph oracle (DuckDB side)
+_E_SQL = f"e AS (SELECT l_partkey % {MOD} AS src, l_orderkey % {MOD} AS dst FROM lineitem)"
+_U_SQL = "u AS (SELECT src AS id FROM e UNION SELECT dst FROM e)"
+_OD_SQL = "od AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src)"
+# undirected simple graph for components / labelprop / triangles
+_S_SQL = ("s AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b "
+          "FROM e WHERE src <> dst)")
+_SYM_SQL = ("sym AS (SELECT a AS src, b AS dst FROM s "
+            "UNION ALL SELECT b AS src, a AS dst FROM s)")
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from pagerank_spark.operators.graph import build_graph
+    return build_graph(spark, _edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# graph build queries (SURVEY §2.1-2.3: scan, degree agg A1, weight
+# projection P1, dangling predicate P2/P3)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.vertices.select(
+        "id", "out_deg", "in_deg", F.col("is_dangling").cast("int").alias("is_dangling")
+    )
+
+
+SQL_GRAPH_DEGREES = f"""
+WITH {_E_SQL}, {_U_SQL}, {_OD_SQL},
+idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst)
+SELECT u.id,
+       coalesce(od.c, 0) AS out_deg,
+       coalesce(idg.c, 0) AS in_deg,
+       CAST(coalesce(od.c, 0) = 0 AS INT) AS is_dangling
+FROM u LEFT JOIN od ON od.id = u.id LEFT JOIN idg ON idg.id = u.id
+"""
+
+
+def q_graph_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.edges.select("src", "dst", "w")
+
+
+SQL_GRAPH_EDGE_WEIGHTS = f"""
+WITH {_E_SQL}, {_OD_SQL}
+SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src
+"""
+
+
+def q_graph_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.vertices.filter("is_dangling").select("id")
+
+
+SQL_GRAPH_DANGLING = f"""
+WITH {_E_SQL}, {_U_SQL}, {_OD_SQL}
+SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL
+"""
+
+
+def q_graph_degree_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 degree binning (kernel_bblock.cu:622-659): per-bin vertex counts."""
+    from pagerank_spark.operators.graph import degree_bins
+    g = _graph(spark, sf_dir)
+    return (degree_bins(g.vertices)
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n_vertices")))
+
+
+SQL_GRAPH_DEGREE_BINS = f"""
+WITH {_E_SQL}, {_U_SQL},
+idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst),
+v AS (SELECT u.id, coalesce(idg.c, 0) AS in_deg FROM u LEFT JOIN idg ON idg.id = u.id)
+SELECT CAST(CASE WHEN in_deg = 0 THEN 0
+            ELSE least(CAST(floor(log2(in_deg - 0.1)) AS BIGINT) + 1, 13) END AS INT) AS bin,
+       count(*) AS n_vertices
+FROM v GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (SURVEY §3.1): fixed-superstep oracle + converged rows-only
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.pagerank import pagerank
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS)
+    n = float(g.n_vertices)
+    return res.ranks.select(
+        "id", F.round(F.col("rank") * F.lit(n), 6).alias("rank_n"))
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled power iteration, Σ=1 internal / Σ=n output, exactly the
+    semantics of operators/pagerank.py (mass -> remain -> contrib -> axpy)."""
+    parts = [
+        _E_SQL, _U_SQL, _OD_SQL,
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
+        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"m{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass "
+            f"FROM r{p} r JOIN dang d ON d.id = r.id)")
+        parts.append(
+            f"c{k} AS (SELECT we.dst AS id, sum(r.rank * we.w) AS c "
+            f"FROM we JOIN r{p} r ON r.id = we.src GROUP BY we.dst)")
+        parts.append(
+            f"r{k} AS (SELECT u.id, {ALPHA} * coalesce(c{k}.c, 0.0) "
+            f"+ ({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA}) / (SELECT n FROM nv) AS rank "
+            f"FROM u LEFT JOIN c{k} ON c{k}.id = u.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank * (SELECT n FROM nv), 6) AS rank_n FROM r{iters}")
+
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full run to L1 <= 1e-6 (rows-only check; pytest holds the NumPy oracle)."""
+    from pagerank_spark.operators.pagerank import pagerank
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, alpha=ALPHA, tol=1e-6, max_iter=60)
+    return res.ranks.select("id", F.round(F.col("rank") * g.n_vertices, 6).alias("rank_n"))
+
+
+def q_pagerank_webgraph_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages->text/outlinks (pandas UDFs)->edges->PageRank, end to end on the
+    deterministic synthetic Common-Crawl-style pages table (rows-only)."""
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.operators.graph import graph_from_pages
+    from pagerank_spark.sources.synth import synth_pages
+    pages = synth_pages(spark, n_pages=2000)
+    g = graph_from_pages(spark, pages)
+    res = pagerank(g, alpha=ALPHA, tol=1e-6, max_iter=40)
+    return (res.ranks.join(g.url_dict, "id")
+            .select("url", F.round(F.col("rank") * g.n_vertices, 6).alias("rank_n")))
+
+
+# ---------------------------------------------------------------------------
+# connected components / label propagation / triangles (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.components import connected_components
+    g = _graph(spark, sf_dir)
+    return connected_components(
+        _edges(spark, sf_dir), universe=g.vertices.select("id")).labels
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL}, {_S_SQL}, {_SYM_SQL},
+walk(id, r) AS (
+    SELECT id, id FROM u
+    UNION
+    SELECT sym.dst, walk.r FROM walk JOIN sym ON sym.src = walk.id
+    WHERE walk.r < sym.dst
+)
+SELECT id, min(r) AS component FROM walk GROUP BY id
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.labelprop import label_propagation
+    g = _graph(spark, sf_dir)
+    return label_propagation(
+        _edges(spark, sf_dir), universe=g.vertices.select("id"),
+        max_rounds=LP_ROUNDS).labels
+
+
+def _labelprop_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous LP: most-frequent neighbor label, ties -> min."""
+    parts = [_E_SQL, _U_SQL, _S_SQL, _SYM_SQL,
+             "l0 AS (SELECT id, id AS label FROM u)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"n{k} AS (SELECT sym.src AS id, l.label FROM sym "
+            f"JOIN l{p} l ON l.id = sym.dst)")
+        parts.append(
+            f"cnt{k} AS (SELECT id, label, count(*) AS c FROM n{k} GROUP BY id, label)")
+        parts.append(
+            f"b{k} AS (SELECT id, label AS new_label FROM "
+            f"(SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1)")
+        parts.append(
+            f"l{k} AS (SELECT l.id, coalesce(b.new_label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN b{k} b ON b.id = l.id)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.triangles import triangle_count
+    n = triangle_count(_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_E_SQL}, {_S_SQL}
+SELECT count(*) AS n_triangles
+FROM s e1 JOIN s e2 ON e2.a = e1.b JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.triangles import triangles_per_vertex
+    return triangles_per_vertex(_edges(spark, sf_dir))
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""
+WITH {_E_SQL}, {_S_SQL},
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM s e1 JOIN s e2 ON e2.a = e1.b JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT id, count(*) AS triangles FROM corners GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY §2.4-2.5: joins, aggs, windows, sort/limit,
+# set ops, distinct aggregates) — DECIMAL-exact money sums
+# ---------------------------------------------------------------------------
+
+
+def _dsum(col, scale: int = 6):
+    """Order-independent exact sum of a double column, as double.
+
+    scale=6 represents the synthetic money columns' products EXACTLY
+    (2-decimal price x 2-decimal discount x 2-decimal tax), so the
+    double->decimal cast never sits on a rounding boundary and both
+    engines accumulate identical decimals regardless of row order."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_Q5 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+SQL_WINDOW_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _dsum(F.col("value"), 6).alias("sum_value")))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via lag + cumulative flag sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    return (ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(orders.distinct()).distinct()
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def q_distinct_custkeys_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+SQL_DISTINCT_CUSTKEYS = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '')"
+
+
+def _sw_hits_sql(lang: str) -> str:
+    from pagerank_spark.operators.textops import STOPWORDS
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOK_SQL}, x -> x IN ({lst})))"
+
+
+def q_docs_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators import textops
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textops.token_count(t).alias("n_tokens"),
+        textops.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        textops.language_id(t).alias("lang_pred"),
+        F.round(textops.quality_score(t), 6).alias("quality"),
+        textops.fingerprint_exact(t).alias("fp_md5"),
+    )
+
+
+def _docs_profile_sql() -> str:
+    from pagerank_spark.operators.textops import BPE_ISH, STOPWORDS
+    hits = {lang: _sw_hits_sql(lang) for lang in STOPWORDS}
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(len({_TOK_SQL}) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INT) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+         CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+         {', '.join(f"CAST({h} AS INT) AS h_{lang}" for lang, h in hits.items())}
+  FROM documents)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       {case} AS lang_pred,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(h_en / greatest(n_tokens, 1) / 0.5, 1.0)
+           + 0.3 * (1.0 - least(n_punct / greatest(n_chars, 1) / 0.5, 1.0)), 6) AS quality,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5
+FROM base
+"""
+
+
+def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup hash-groupBy: every fingerprint group with its size (the
+    synthetic docs happen to be dupe-free, so returning ALL groups keeps the
+    oracle check non-trivial; operators.dedup.exact_duplicates applies the
+    n_docs > 1 filter on the same aggregation)."""
+    from pagerank_spark.operators.textops import fingerprint_exact
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(fingerprint_exact(F.col("text")).alias("fp"))
+            .groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_DOCS_EXACT_DUPES = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact word-3gram Jaccard >= 0.5 (the verify stage of the
+    MinHash pipeline, run exhaustively so DuckDB can oracle it)."""
+    from pagerank_spark.operators.dedup import shingles
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("sz", "sb"), "b")
+        .select("a", "b",
+                F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6)
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+gr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)),
+sz AS (SELECT doc_id, count(*) AS s FROM gr GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only; recall vs exact tested in pytest)."""
+    from pagerank_spark.operators.dedup import near_duplicates_minhash
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates_minhash(docs, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
+    from pagerank_spark.operators.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 8.
+    Output is ids+rank only: float scores stay internal, so the hash
+    compares integers (rank flips would need two cosines within fp noise)."""
+    from pagerank_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (rows-only; recall tested in pytest)."""
+    from pagerank_spark.operators.similarity import ann_topk_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> decode (deterministic fake) -> frame-sample ->
+    per-item feature stats via mapInPandas (rows-only)."""
+    from pagerank_spark.operators.multimodal import extract_media_features, synth_media
+    media = synth_media(spark, n=64)
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "frames_sampled",
+                        F.round("mean", 6).alias("mean"),
+                        F.round("std", 6).alias("std"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived link graph at sf0.001 -> PageRank to convergence ->
+    top pages with degrees (join + sort + limit)."""
+    from pagerank_spark.operators.pagerank import pagerank
+    sf_dir = "/root/testdata/sf0.001"
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, alpha=ALPHA, tol=1e-6, max_iter=40)
+    return (
+        res.ranks.join(g.vertices, "id")
+        .select("id", F.round(F.col("rank") * g.n_vertices, 6).alias("rank_n"),
+                "out_deg", "in_deg")
+        .orderBy(F.desc("rank_n"), F.asc("id"))
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_degrees": q_graph_degrees,
+        "graph_edge_weights": q_graph_edge_weights,
+        "graph_dangling": q_graph_dangling,
+        "graph_degree_bins": q_graph_degree_bins,
+        "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_converged": q_pagerank_converged,
+        "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_region_revenue": q_q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessionization": q_events_sessionization,
+        "customers_without_orders": q_customers_without_orders,
+        "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
+        "docs_text_profile": q_docs_text_profile,
+        "docs_exact_duplicates": q_docs_exact_duplicates,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_topk_cosine": q_similarity_topk_cosine,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_degrees": SQL_GRAPH_DEGREES,
+        "graph_edge_weights": SQL_GRAPH_EDGE_WEIGHTS,
+        "graph_dangling": SQL_GRAPH_DANGLING,
+        "graph_degree_bins": SQL_GRAPH_DEGREE_BINS,
+        "pagerank_3iter": _pagerank_oracle_sql(PR_ITERS),
+        "connected_components": SQL_CONNECTED_COMPONENTS,
+        "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
+        "triangle_count": SQL_TRIANGLE_COUNT,
+        "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+        "q1_pricing_summary": SQL_Q1,
+        "q3_top_orders": SQL_Q3,
+        "q5_region_revenue": SQL_Q5,
+        "window_top_orders": SQL_WINDOW_TOP_ORDERS,
+        "events_hourly_rollup": SQL_EVENTS_HOURLY,
+        "events_sessionization": SQL_EVENTS_SESSIONS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "distinct_custkeys_per_priority": SQL_DISTINCT_CUSTKEYS,
+        "docs_text_profile": _docs_profile_sql(),
+        "docs_exact_duplicates": SQL_DOCS_EXACT_DUPES,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "similarity_topk_cosine": SQL_SIMILARITY_TOPK,
+        # rows-only (non-SQL-expressible): pagerank_converged,
+        # pagerank_webgraph_e2e, dedup_minhash_lsh, dedup_simhash,
+        # similarity_ann_lsh, multimodal_features
+    }
