@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank": {edges_per_sec_per_iter, iterations, n_edges, n_vertices}}
+
+The headline number the baseline cares about (BASELINE.json `metric`) is
+PageRank edges/sec per iteration to 1e-6 L1 convergence — reported under
+"pagerank". The bench link graph is derived deterministically from
+lineitem with a 2^20 id space (sparser and more scale-shaped than the
+sf0.01 correctness graph, which needs a small id space for its DuckDB
+recursive oracles).
+
+Execution is forced with the `noop` sink: full computation, no driver
+collect, no disk write — isolates engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_MOD = 1 << 20
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.components import connected_components
+    from pagerank_spark.operators.dedup import (near_duplicates_minhash,
+                                                simhash_near_duplicates)
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.labelprop import label_propagation
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.operators.similarity import cosine_topk
+    from pagerank_spark.operators.textops import analyze_documents
+    from pagerank_spark.operators.triangles import triangle_count
+    from pagerank_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("bench", cpus=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_partkey") % BENCH_MOD).alias("src"),
+                      (F.col("l_orderkey") % BENCH_MOD).alias("dst"))
+
+    # -- graph build (scan + degrees + weights + partition-by-src layout)
+    g = timed("graph_build", lambda: build_graph(spark, edges))
+
+    # -- headline: PageRank to 1e-6 L1 convergence
+    t0 = time.monotonic()
+    res = pagerank(g, alpha=0.85, tol=1e-6, max_iter=60)
+    noop(res.ranks)
+    pr_s = time.monotonic() - t0
+    timings["pagerank_converged"] = round(pr_s, 3)
+    pr_stats = {
+        "edges_per_sec_per_iter": round(g.n_edges * res.iterations / pr_s, 1),
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "n_edges": g.n_edges,
+        "n_vertices": g.n_vertices,
+    }
+
+    # -- graph algorithms
+    timed("connected_components", lambda: noop(connected_components(edges).labels))
+    timed("label_propagation_3r",
+          lambda: noop(label_propagation(edges, max_rounds=3).labels))
+    timed("triangle_count", lambda: triangle_count(edges))
+
+    # -- relational suite (driver-contract queries at bench scale)
+    timed("q1_pricing_summary", lambda: noop(entry.q_q1_pricing_summary(spark, sf_dir)))
+    timed("q3_top_orders", lambda: noop(entry.q_q3_top_orders(spark, sf_dir)))
+    timed("q5_region_revenue", lambda: noop(entry.q_q5_region_revenue(spark, sf_dir)))
+    timed("window_top_orders", lambda: noop(entry.q_window_top_orders(spark, sf_dir)))
+    timed("events_hourly_rollup", lambda: noop(entry.q_events_hourly_rollup(spark, sf_dir)))
+    timed("events_sessionization",
+          lambda: noop(entry.q_events_sessionization(spark, sf_dir)))
+
+    # -- training-data pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("docs_text_profile", lambda: noop(analyze_documents(docs)))
+    timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
+    timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
+    timed("similarity_topk",
+          lambda: noop(cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pagerank_spark suite wall time (headline: pagerank edges/sec/iter to 1e-6)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pagerank": pr_stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()

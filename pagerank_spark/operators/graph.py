@@ -140,7 +140,13 @@ def build_graph(
     )
 
     weighted = (
-        edges.join(out_deg, "src")
+        # shuffle_hash on the degree side: both inputs are E-scale or
+        # V-scale; without the hint Catalyst's pre-explode cardinality
+        # estimates can pick a broadcast of the EDGE side (observed: a
+        # 2 GiB broadcast of an exploded edge table). Hash-building the
+        # V-sized degree table per partition is the plan that survives any
+        # scale-up.
+        edges.join(out_deg.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         # CSC-analogue layout: partition by the per-iteration join key so the
         # edge table is shuffled ONCE here and never again; sort within

@@ -62,10 +62,24 @@ class PageRankResult:
         return self.ranks.select("id", (F.col("rank") * F.lit(float(n))).alias("rank"))
 
 
-def _contributions(edges: DataFrame, ranks: DataFrame, salted: bool) -> DataFrame:
-    """contrib(dst) = Σ rank(src)·w — the SpMV row reduce (A2)."""
+def _contributions(edges: DataFrame, ranks: DataFrame, salted: bool,
+                   strategy: str = "merge") -> DataFrame:
+    """contrib(dst) = Σ rank(src)·w — the SpMV row reduce (A2).
+
+    ``strategy`` is the physical plan for THE hot join (SURVEY §2.3 J1),
+    the analogue of the reference's small/large kernel split (K2):
+
+    * ``broadcast`` — ship the rank table to every task. Fastest while the
+      rank table is MBs (no shuffle at all), but the driver-side build is
+      serial and dies at 10^12 vertices.
+    * ``merge`` — the scale path: the edge table is cached hash-partitioned
+      AND sorted by ``src`` (operators/graph.py), so the sort-merge join
+      reuses that layout; per superstep only the O(V) rank table
+      shuffles+sorts, the O(E) side streams from cache with no exchange
+      and no re-sort.
+    """
     joined = edges.join(
-        ranks.select(F.col("id").alias("src"), "rank"), "src"
+        ranks.select(F.col("id").alias("src"), "rank").hint(strategy), "src"
     ).select("dst", *((["salt"] if salted else [])), (F.col("rank") * F.col("w")).alias("c"))
     if salted:
         partial = joined.groupBy("dst", "salt").agg(F.sum("c").alias("c"))
@@ -82,6 +96,8 @@ def pagerank(
     salt_hot_threshold: int = 100_000,
     salt_target_bucket: int = 50_000,
     resume: bool = False,
+    join_strategy: str = "auto",
+    broadcast_max_vertices: int = 2_000_000,
 ) -> PageRankResult:
     """Run power iteration on a built LinkGraph.
 
@@ -89,10 +105,21 @@ def pagerank(
     (kernel_bblock.cu:949 never breaks on eps); otherwise early-exit on
     total L1 <= tol. ``resume=True`` with a dir-backed checkpointer picks
     up from the last committed superstep.
+
+    ``join_strategy``: ``"auto"`` picks ``broadcast`` for the hot join
+    while the rank table is small (< ``broadcast_max_vertices`` ~ tens of
+    MB) and ``merge`` beyond — the size-adaptive dispatch the reference
+    does per degree bin (K2/K4), applied to the whole graph. Pass
+    ``"merge"`` or ``"broadcast"`` to pin the physical plan (benchmarks
+    pin ``merge`` to measure the 10^12-scale path).
     """
     spark = graph.edges.sparkSession
     ckpt = checkpointer or SuperstepCheckpointer(spark, None)
     n = graph.n_vertices
+    if join_strategy == "auto":
+        strategy = "broadcast" if n <= broadcast_max_vertices else "merge"
+    else:
+        strategy = join_strategy
 
     # skew pre-pass: fan-out map for power-law head destinations (K1/K2)
     salts = hot_vertex_salts(graph.vertices, salt_hot_threshold, salt_target_bucket)
@@ -102,74 +129,84 @@ def pagerank(
         edges = edges.persist()
         edges.count()
 
-    dangling = graph.vertices.select("id", "is_dangling")
-
+    # Superstep state carries (id, rank, prev_rank, is_dangling) so ONE
+    # aggregate over the checkpointed state yields the L1 norm (A4), the
+    # NEXT iteration's dangling mass (A3), and the conservation check —
+    # 2 jobs per superstep (materialize + scan-agg) instead of the naive
+    # 3 jobs with 2 extra joins (the DataFrame analogue of the reference
+    # fusing `remain_value` into its SpMV kernels, kernel_bblock.cu:966).
+    state: DataFrame | None = None
     start_iter = 0
     if resume:
         last = ckpt.last_committed()
         if last is not None:
             start_iter = last
-            ranks = ckpt.load(last)
-        else:
-            ranks = None
-    else:
-        ranks = None
-    if ranks is None:
+            state = ckpt.load(last)
+            if "is_dangling" not in state.columns:  # pre-fusion checkpoint
+                state = state.join(graph.vertices.select("id", "is_dangling"), "id")
+            if "prev_rank" not in state.columns:
+                state = state.withColumn("prev_rank", F.col("rank"))
+    if state is None:
         # P6 uniform init, Σ=1 (lightSpMV PageRank.h:314-318)
-        ranks = graph.vertices.select("id", F.lit(1.0 / n).alias("rank"))
-        ranks = ckpt.save(0, ranks)
+        state = graph.vertices.select(
+            "id", F.lit(1.0 / n).alias("rank"),
+            F.lit(1.0 / n).alias("prev_rank"), "is_dangling")
+        state = ckpt.save(0, state)
 
-    # annotate with the dangling flag once per loaded ranks DF
-    def with_flag(r: DataFrame) -> DataFrame:
-        return r.join(dangling, "id")
+    # A3 for the first superstep: dangling mass of the initial/loaded ranks
+    # (one scalar to the driver, the cudaMemcpy of kernel_bblock.cu:965;
+    # subsequent masses ride along in the per-superstep stats aggregate).
+    mass = float(
+        state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank")))).first()[0]
+        or 0.0)
 
     converged = False
     l1 = float("inf")
     it = start_iter
-    flagged = with_flag(ranks)
     for it in range(start_iter + 1, max_iter + 1):
         timer = StageTimer()
-        # A3: dangling mass -> driver scalar (the cudaMemcpy of one float,
-        # kernel_bblock.cu:965)
-        mass_row = flagged.filter("is_dangling").agg(F.sum("rank")).first()
-        mass = float(mass_row[0] or 0.0)
         remain = alpha * mass / n + (1.0 - alpha) / n
 
-        contribs = _contributions(edges, ranks, use_salt)
-        # left join against the full vertex universe: vertices with no
-        # in-edges still receive `remain` (kernel_bblock.cu:333-339).
-        new_ranks = (
-            graph.vertices.select("id")
+        contribs = _contributions(edges, state.select("id", "rank"), use_salt,
+                                  strategy=strategy)
+        # left join against the full vertex universe (carried by `state`):
+        # vertices with no in-edges still receive `remain`
+        # (kernel_bblock.cu:333-339).
+        new_state = (
+            state.select("id", F.col("rank").alias("prev_rank"), "is_dangling")
             .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                  + F.lit(remain)).alias("rank"),
+                "prev_rank", "is_dangling",
             )
         )
-        new_ranks = ckpt.save(it, new_ranks)
+        new_state = ckpt.save(it, new_state)
 
-        # A4: L1 convergence norm
-        stats = (
-            new_ranks.alias("new")
-            .join(ranks.alias("old"), "id")
-            .agg(
-                F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("l1"),
-                F.sum("new.rank").alias("mass_sum"),
-            )
-            .first()
-        )
+        # fused A4 (L1) + A3 (next dangling mass) + conservation, one scan
+        stats = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("next_mass"),
+            F.sum("rank").alias("mass_sum"),
+        ).first()
         l1 = float(stats["l1"])
         ckpt.record(
-            it, new_ranks,
+            it, new_state,
             l1_diff=l1, dangling_mass=mass, rank_sum=float(stats["mass_sum"]),
             edges_processed=graph.n_edges, wall_ms=timer.lap_ms(),
         )
-        ranks = new_ranks
-        flagged = with_flag(ranks)
+        mass = float(stats["next_mass"] or 0.0)
+        # double-buffer swap (kernel_bblock.cu:1082): drop the previous
+        # superstep's checkpoint blocks NOW — leaving them cached was
+        # measured to degrade iteration wall time monotonically (block
+        # manager bloat), the DataFrame analogue of leaking device buffers.
+        state.unpersist()  # no-op for parquet-backed (dir mode) state
+        state = new_state
         if tol is not None and l1 <= tol:
             converged = True
             break
 
-    return PageRankResult(ranks=ranks, iterations=it, converged=converged,
-                          l1_diff=l1, metrics=ckpt.metrics or ckpt.load_metrics())
+    return PageRankResult(ranks=state.select("id", "rank"), iterations=it,
+                          converged=converged, l1_diff=l1,
+                          metrics=ckpt.metrics or ckpt.load_metrics())
