@@ -1,0 +1,94 @@
+"""spark-submit entry point mirroring the reference's argv contract.
+
+Reference: ``./pagerank <input> <output> <max_iteration>``
+(/root/reference/kernel_bblock.cu:1178-1191, defaults web-Stanford.txt /
+out.txt / 40). This CLI keeps that positional shape and adds the engine's
+knobs. Run with::
+
+    spark-submit --py-files pagerank_spark.zip -m pagerank_spark.cli \
+        input.txt out_dir 40 --alpha 0.85 --tol 1e-6 \
+        --checkpoint-dir /ckpt --resume
+
+Input formats (--format): ``edgelist`` (reference S1 text), ``mm``
+(Matrix Market), ``parquet`` (an (src,dst) edge table), ``pages`` (a
+Common-Crawl-style pages table -> UDF outlink extraction). Output is the
+reference's Σ=n scale (kernel_* binaries init rank=1.0 so their ranks sum
+to n; nvgraph writes pr*n, nvgraph_Pagerank.cpp:321).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pagerank_spark")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("max_iteration", nargs="?", type=int, default=40)
+    p.add_argument("--format", choices=["edgelist", "mm", "parquet", "pages"],
+                   default="edgelist")
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-6,
+                   help="total-L1 early exit; <=0 runs the fixed budget "
+                        "like the reference loop (kernel_bblock.cu:949)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output-format", choices=["text", "parquet"], default="text")
+    p.add_argument("--join-strategy", choices=["auto", "broadcast", "merge"],
+                   default="auto")
+    p.add_argument("--cpus", type=int, default=None,
+                   help="local-mode threads; ignored under spark-submit "
+                        "with an explicit master")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pagerank_spark.operators.graph import build_graph, graph_from_pages
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.plans.checkpoint import SuperstepCheckpointer
+    from pagerank_spark.session import get_spark
+    from pagerank_spark.sources.edgelist import (read_edge_list,
+                                                 read_matrix_market,
+                                                 write_ranks_parquet,
+                                                 write_ranks_text)
+
+    spark = get_spark("pagerank_cli", cpus=args.cpus)
+
+    if args.format == "edgelist":
+        edges, n = read_edge_list(spark, args.input)
+        graph = build_graph(spark, edges, n_vertices=n)
+    elif args.format == "mm":
+        edges, n = read_matrix_market(spark, args.input)
+        graph = build_graph(spark, edges, n_vertices=n)
+    elif args.format == "parquet":
+        graph = build_graph(spark, spark.read.parquet(args.input))
+    else:
+        graph = graph_from_pages(spark, spark.read.parquet(args.input))
+
+    ckpt = SuperstepCheckpointer(spark, args.checkpoint_dir)
+    res = pagerank(
+        graph,
+        alpha=args.alpha,
+        tol=args.tol if args.tol > 0 else None,
+        max_iter=args.max_iteration,
+        checkpointer=ckpt,
+        resume=args.resume,
+        join_strategy=args.join_strategy,
+    )
+    ranks_n = res.reference_scale()
+    if args.output_format == "text":
+        write_ranks_text(ranks_n, args.output)
+    else:
+        write_ranks_parquet(ranks_n, args.output)
+
+    print(f"iterations={res.iterations} converged={res.converged} "
+          f"l1={res.l1_diff:.3e} edges={graph.n_edges} vertices={graph.n_vertices}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,7 @@ def connected_components(
     for rounds in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _signature(nxt)
+        cur.unpersist()  # drop the previous round's checkpoint blocks
         cur = nxt
         if nsig == sig:
             converged = True

@@ -75,6 +75,8 @@ def label_propagation(
             .limit(1)
             .count()
         )
+        if rounds > 1:
+            labels.unpersist()  # drop the previous round's checkpoint blocks
         labels = new_labels
         if changed == 0:
             converged = True

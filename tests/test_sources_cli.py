@@ -1,0 +1,76 @@
+"""Reference-format sources (S1 edge list, S2 Matrix Market), the S3 text
+sink, and the CLI entry point."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.operators.graph import build_graph
+from pagerank_spark.operators.pagerank import pagerank
+from pagerank_spark.sources import synth
+from pagerank_spark.sources.edgelist import (read_edge_list,
+                                             read_matrix_market,
+                                             write_ranks_text)
+
+
+@pytest.fixture()
+def g6_file(tmp_path):
+    """G6 in the reference's S1 format: header 'n nnz', 1-indexed pairs."""
+    lines = [f"6 {len(synth.G6_EDGES)}"]
+    lines += [f"{s + 1} {d + 1}" for s, d in synth.G6_EDGES]
+    p = tmp_path / "g6.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_read_edge_list_g6(spark, g6_file):
+    edges, n = read_edge_list(spark, g6_file)
+    assert n == 6
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    assert got == sorted(synth.G6_EDGES)
+
+
+def test_read_matrix_market(spark, tmp_path):
+    content = "%%MatrixMarket matrix coordinate pattern general\n% comment\n"
+    content += f"6 6 {len(synth.G6_EDGES)}\n"
+    content += "\n".join(f"{s + 1} {d + 1}" for s, d in synth.G6_EDGES) + "\n"
+    p = tmp_path / "g6.mtx"
+    p.write_text(content)
+    edges, n = read_matrix_market(spark, str(p))
+    assert n == 6
+    assert sorted((r.src, r.dst) for r in edges.collect()) == sorted(synth.G6_EDGES)
+
+
+def test_text_sink_reference_parity(spark, tmp_path, g6_file):
+    """6-decimal, vertex-id order — the byte format of kernel_bblock.cu:1099."""
+    edges, n = read_edge_list(spark, g6_file)
+    g = build_graph(spark, edges, n_vertices=n)
+    res = pagerank(g, alpha=0.9, tol=1e-10, max_iter=300)
+    out = tmp_path / "ranks_out"
+    write_ranks_text(res.reference_scale(), str(out))
+    part = next(out.glob("part-*"))
+    vals = [float(x) for x in part.read_text().strip().splitlines()]
+    assert len(vals) == 6
+    np.testing.assert_allclose(
+        np.array(vals) / 6.0, synth.G6_RANKS_A09, atol=1e-3)
+
+
+def test_cli_end_to_end(spark, tmp_path, g6_file):
+    from pagerank_spark.cli import main
+    out = tmp_path / "cli_out"
+    rc = main([g6_file, str(out), "300", "--alpha", "0.9", "--tol", "1e-10"])
+    assert rc == 0
+    part = next(out.glob("part-*"))
+    vals = [float(x) for x in part.read_text().strip().splitlines()]
+    np.testing.assert_allclose(np.array(vals) / 6.0, synth.G6_RANKS_A09, atol=1e-3)
+
+
+def test_cli_fixed_budget_and_parquet_output(spark, tmp_path, g6_file):
+    from pagerank_spark.cli import main
+    out = tmp_path / "cli_pq"
+    rc = main([g6_file, str(out), "7", "--tol", "0",
+               "--output-format", "parquet"])
+    assert rc == 0
+    got = {r.id: r.rank for r in spark.read.parquet(str(out)).collect()}
+    assert len(got) == 6 and abs(sum(got.values()) - 6.0) < 1e-9
