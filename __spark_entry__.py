@@ -610,6 +610,33 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path (rows-only): drain the events parquet as a
+    file-source stream through the watermarked tumbling-window rollup into
+    a memory sink, return the drained table. Batch equivalence with
+    `events_hourly_rollup` is asserted in tests/test_streaming.py."""
+    from pagerank_spark.streaming.rollup import hourly_rollup_stream, run_to_memory
+    import os
+    import tempfile
+    # the file stream source wants a DIRECTORY; expose the single parquet
+    # file through a temp dir symlink
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(d)
+          # watermarks require TIMESTAMP (with zone); session tz is UTC so
+          # the NTZ->TZ cast is value-preserving
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    run_to_memory(hourly_rollup_stream(ev), "q_stream_rollup",
+                  output_mode="complete")
+    return (spark.table("q_stream_rollup")
+            .select("hour", "event_type", "n_events",
+                    F.round("sum_value", 6).alias("sum_value")))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> decode (deterministic fake) -> frame-sample ->
     per-item feature stats via mapInPandas (rows-only)."""
@@ -670,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "multimodal_features": q_multimodal_features,
     }
 

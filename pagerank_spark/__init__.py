@@ -15,7 +15,8 @@ Layout:
     operators/     graph build, PageRank, CC, label prop, triangles,
                    dedup, similarity, text quality
     plans/         superstep checkpoint/resume + iteration metrics
-    streaming/     incremental edge ingestion (Structured Streaming)
+    streaming/     Structured Streaming: watermarked windowed rollups and
+                   stateful sessionization (applyInPandasWithState)
 """
 
 __version__ = "0.1.0"

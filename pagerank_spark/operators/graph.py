@@ -109,6 +109,11 @@ def build_graph(
     * ``n_vertices``: pass the id-space size when vertices exist with no
       edges at all (isolated); default = ids seen in the edge table. When
       given, the universe is ``spark.range(n_vertices)`` — dense-id contract.
+    * pre-weighted input: if ``edges`` carries a ``w`` column, transition
+      weights are |w| row-sum-normalized per source instead of 1/out_deg —
+      P9, the lightSpMV weighted/Matrix-Market path
+      (/root/reference/lightSpMV/PageRank.h:256-274: fabs + rowSum divide).
+      Dangling semantics are unchanged (no out-edges at all).
     """
     if edge_partitions is None:
         edge_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -139,15 +144,27 @@ def build_graph(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    weighted = (
+    if "w" in edges.columns:
+        # P9: |w| / row-sum per source (lightSpMV PageRank.h:256-274)
+        wsum = edges.groupBy("src").agg(F.sum(F.abs("w")).alias("wsum"))
+        normalized = (
+            edges.join(wsum.hint("shuffle_hash"), "src")
+            .select("src", "dst", (F.abs("w") / F.col("wsum")).alias("w"))
+        )
+    else:
         # shuffle_hash on the degree side: both inputs are E-scale or
         # V-scale; without the hint Catalyst's pre-explode cardinality
         # estimates can pick a broadcast of the EDGE side (observed: a
         # 2 GiB broadcast of an exploded edge table). Hash-building the
         # V-sized degree table per partition is the plan that survives any
         # scale-up.
-        edges.join(out_deg.hint("shuffle_hash"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        normalized = (
+            edges.join(out_deg.hint("shuffle_hash"), "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        )
+
+    weighted = (
+        normalized
         # CSC-analogue layout: partition by the per-iteration join key so the
         # edge table is shuffled ONCE here and never again; sort within
         # partitions for scan locality (the reference's grouped-by-key

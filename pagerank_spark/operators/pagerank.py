@@ -98,6 +98,10 @@ def pagerank(
     resume: bool = False,
     join_strategy: str = "auto",
     broadcast_max_vertices: int = 2_000_000,
+    init: str = "uniform",
+    dangling_redistribution: bool = True,
+    norm: str = "l1",
+    bin_telemetry: bool = False,
 ) -> PageRankResult:
     """Run power iteration on a built LinkGraph.
 
@@ -112,6 +116,22 @@ def pagerank(
     does per degree bin (K2/K4), applied to the whole graph. Pass
     ``"merge"`` or ``"broadcast"`` to pin the physical plan (benchmarks
     pin ``merge`` to measure the 10^12-scale path).
+
+    Reference variant semantics, all default-off:
+
+    * ``init="out_degree"`` — P5, the reference's dead initializer
+      (kernel_bblock.cu:56-68: r=1/out_deg, dangling r=1/n), normalized
+      to the engine's Σ=1 invariant. Converges to the same fixed point.
+    * ``dangling_redistribution=False`` — P8, the lightSpMV semantic fork
+      (PageRank.h:339-343): dangling mass leaks instead of being
+      redistributed; Σrank < 1 at the fixed point.
+    * ``norm="l2"`` — A5, the lightSpMV host-side stop criterion
+      sqrt(Σ(new−old)²) ≤ tol (PageRank.h:56-66; tol 1e-8 there). The L1
+      norm is still recorded in metrics either way.
+    * ``bin_telemetry=True`` — A6, the per-degree-bin mean |Δrank| /
+      unconverged-count CSV of the bblock binary (for_test.h:51-85),
+      recorded into each superstep's metrics row (one extra small
+      aggregate job per superstep).
     """
     spark = graph.edges.sparkSession
     ckpt = checkpointer or SuperstepCheckpointer(spark, None)
@@ -147,18 +167,37 @@ def pagerank(
             if "prev_rank" not in state.columns:
                 state = state.withColumn("prev_rank", F.col("rank"))
     if state is None:
-        # P6 uniform init, Σ=1 (lightSpMV PageRank.h:314-318)
-        state = graph.vertices.select(
-            "id", F.lit(1.0 / n).alias("rank"),
-            F.lit(1.0 / n).alias("prev_rank"), "is_dangling")
+        if init == "out_degree":
+            # P5 (kernel_bblock.cu:56-68), normalized to Σ=1
+            raw = graph.vertices.select(
+                "id", "is_dangling",
+                F.when(F.col("is_dangling"), F.lit(1.0 / n))
+                .otherwise(F.lit(1.0) / F.col("out_deg")).alias("r0"))
+            total = float(raw.agg(F.sum("r0")).first()[0])
+            state = raw.select(
+                "id", (F.col("r0") / total).alias("rank"),
+                (F.col("r0") / total).alias("prev_rank"), "is_dangling")
+        else:
+            # P6 uniform init, Σ=1 (lightSpMV PageRank.h:314-318)
+            state = graph.vertices.select(
+                "id", F.lit(1.0 / n).alias("rank"),
+                F.lit(1.0 / n).alias("prev_rank"), "is_dangling")
         state = ckpt.save(0, state)
 
     # A3 for the first superstep: dangling mass of the initial/loaded ranks
     # (one scalar to the driver, the cudaMemcpy of kernel_bblock.cu:965;
     # subsequent masses ride along in the per-superstep stats aggregate).
-    mass = float(
-        state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank")))).first()[0]
-        or 0.0)
+    # P8 fork: the lightSpMV path never redistributes (mass pinned to 0).
+    mass = 0.0
+    if dangling_redistribution:
+        mass = float(
+            state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank")))).first()[0]
+            or 0.0)
+
+    bins = None
+    if bin_telemetry:
+        from pagerank_spark.operators.graph import degree_bins
+        bins = degree_bins(graph.vertices).select("id", "bin")
 
     converged = False
     l1 = float("inf")
@@ -184,26 +223,43 @@ def pagerank(
         )
         new_state = ckpt.save(it, new_state)
 
-        # fused A4 (L1) + A3 (next dangling mass) + conservation, one scan
+        # fused A4 (L1) + A5 (L2) + A3 (next dangling mass) + conservation
         stats = new_state.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1"),
+            F.sqrt(F.sum(F.pow(F.col("rank") - F.col("prev_rank"), 2))).alias("l2"),
             F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("next_mass"),
             F.sum("rank").alias("mass_sum"),
         ).first()
         l1 = float(stats["l1"])
+        l2 = float(stats["l2"])
+        extra: dict[str, Any] = {}
+        if bins is not None:
+            # A6 telemetry (for_test.h:51-85): per-bin mean |Δ| + count over
+            # the reference's 1e-5 precision threshold
+            diff = F.abs(F.col("rank") - F.col("prev_rank"))
+            extra["bin_convergence"] = {
+                int(r["bin"]): {"mean_abs_diff": float(r["mean_diff"]),
+                                "unconverged": int(r["unconv"])}
+                for r in new_state.join(bins, "id").groupBy("bin").agg(
+                    F.avg(diff).alias("mean_diff"),
+                    F.count(F.when(diff > 1e-5, 1)).alias("unconv"),
+                ).collect()
+            }
         ckpt.record(
             it, new_state,
-            l1_diff=l1, dangling_mass=mass, rank_sum=float(stats["mass_sum"]),
-            edges_processed=graph.n_edges, wall_ms=timer.lap_ms(),
+            l1_diff=l1, l2_diff=l2, dangling_mass=mass,
+            rank_sum=float(stats["mass_sum"]),
+            edges_processed=graph.n_edges, wall_ms=timer.lap_ms(), **extra,
         )
-        mass = float(stats["next_mass"] or 0.0)
+        if dangling_redistribution:
+            mass = float(stats["next_mass"] or 0.0)
         # double-buffer swap (kernel_bblock.cu:1082): drop the previous
         # superstep's checkpoint blocks NOW — leaving them cached was
         # measured to degrade iteration wall time monotonically (block
         # manager bloat), the DataFrame analogue of leaking device buffers.
         state.unpersist()  # no-op for parquet-backed (dir mode) state
         state = new_state
-        if tol is not None and l1 <= tol:
+        if tol is not None and (l2 if norm == "l2" else l1) <= tol:
             converged = True
             break
 

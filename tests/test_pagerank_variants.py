@@ -1,0 +1,113 @@
+"""Reference variant semantics: P5 out-degree init, P8 no-redistribution
+fork, A5 L2 stop, A6 per-bin telemetry, P9 pre-weighted edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.graph import build_graph
+from pagerank_spark.operators.pagerank import pagerank
+from pagerank_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def g6(spark):
+    edges = spark.createDataFrame(synth.G6_EDGES, schema="src long, dst long")
+    return build_graph(spark, edges, n_vertices=6)
+
+
+def _vec(res, n):
+    out = np.zeros(n)
+    for r in res.ranks.collect():
+        out[r.id] = r.rank
+    return out
+
+
+def test_out_degree_init_same_fixed_point(spark, g6):
+    """P5 (kernel_bblock.cu:56-68) only changes the starting point; the
+    damped chain has a unique fixed point."""
+    a = pagerank(g6, tol=1e-10, max_iter=300)
+    b = pagerank(g6, tol=1e-10, max_iter=300, init="out_degree")
+    np.testing.assert_allclose(_vec(a, 6), _vec(b, 6), atol=1e-8)
+
+
+def test_no_redistribution_leaks_dangling_mass(spark, g6):
+    """P8 (lightSpMV PageRank.h:339-343): vertex 1 is dangling, so total
+    mass at the fixed point is < 1."""
+    res = pagerank(g6, tol=1e-10, max_iter=300, dangling_redistribution=False)
+    total = float(res.ranks.agg(F.sum("rank")).first()[0])
+    assert total < 1.0 - 1e-3
+    # oracle: explicit leaky power iteration
+    A = np.zeros((6, 6))
+    out = np.zeros(6)
+    for s, d in synth.G6_EDGES:
+        out[s] += 1
+    for s, d in synth.G6_EDGES:
+        A[d, s] = 1.0 / out[s]
+    r = np.full(6, 1 / 6)
+    for _ in range(300):
+        nxt = 0.85 * A @ r + 0.15 / 6
+        if np.abs(nxt - r).sum() <= 1e-10:
+            r = nxt
+            break
+        r = nxt
+    np.testing.assert_allclose(_vec(res, 6), r, atol=1e-6)
+
+
+def test_no_redistribution_equals_default_without_dangling(spark):
+    """With zero dangling vertices the P8 fork is a no-op."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], schema="src long, dst long")
+    g = build_graph(spark, edges, n_vertices=3)
+    a = pagerank(g, tol=1e-10, max_iter=200)
+    b = pagerank(g, tol=1e-10, max_iter=200, dangling_redistribution=False)
+    np.testing.assert_allclose(_vec(a, 3), _vec(b, 3), atol=1e-12)
+
+
+def test_l2_norm_stop(spark, g6):
+    """A5 (lightSpMV PageRank.h:56-66): L2 stop converges to the same
+    ranks; metrics carry both norms and l2 <= l1 always."""
+    res = pagerank(g6, tol=1e-8, max_iter=300, norm="l2")
+    assert res.converged
+    ref = pagerank(g6, tol=1e-10, max_iter=300)
+    np.testing.assert_allclose(_vec(res, 6), _vec(ref, 6), atol=1e-6)
+    for m in res.metrics:
+        assert m["l2_diff"] <= m["l1_diff"] + 1e-15
+
+
+def test_bin_telemetry_recorded(spark, g6):
+    """A6 (for_test.h:51-85): per-bin mean |Δ| present and shrinking."""
+    res = pagerank(g6, tol=None, max_iter=5, bin_telemetry=True)
+    rows = [m for m in res.metrics if "bin_convergence" in m]
+    assert len(rows) == 5
+    first, last = rows[0]["bin_convergence"], rows[-1]["bin_convergence"]
+    assert set(first) and all(
+        last[b]["mean_abs_diff"] <= first[b]["mean_abs_diff"] for b in last)
+
+
+def test_weighted_edges_row_normalized(spark):
+    """P9 (lightSpMV PageRank.h:256-274): explicit weights, |.|-row-sum
+    normalized; uniform explicit weights reproduce the unweighted graph."""
+    rows = [(0, 1, 3.0), (0, 2, -1.0), (1, 2, 2.0)]
+    g = build_graph(
+        spark,
+        spark.createDataFrame(rows, schema="src long, dst long, w double"),
+        n_vertices=3,
+    )
+    w = {(r.src, r.dst): r.w for r in g.edges.collect()}
+    assert w[(0, 1)] == pytest.approx(0.75) and w[(0, 2)] == pytest.approx(0.25)
+    assert w[(1, 2)] == pytest.approx(1.0)
+
+    uni = [(s, d, 2.5) for s, d in synth.G6_EDGES]
+    gw = build_graph(
+        spark, spark.createDataFrame(uni, schema="src long, dst long, w double"),
+        n_vertices=6)
+    gu = build_graph(
+        spark, spark.createDataFrame(synth.G6_EDGES, schema="src long, dst long"),
+        n_vertices=6)
+    rw = pagerank(gw, tol=1e-10, max_iter=300)
+    ru = pagerank(gu, tol=1e-10, max_iter=300)
+    np.testing.assert_allclose(_vec(rw, 6), _vec(ru, 6), atol=1e-12)

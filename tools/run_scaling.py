@@ -33,13 +33,20 @@ def run_once(cpus: int, copies: int, iters: int) -> dict:
 
 
 def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = [a for a in sys.argv[1:] if a != "--extend"]
+    extend = "--extend" in sys.argv
+    copies = int(args[0]) if len(args) > 0 else 128
+    iters = int(args[1]) if len(args) > 1 else 8
+    reps = int(args[2]) if len(args) > 2 else 3
+    levels = tuple(int(x) for x in args[3].split(",")) if len(args) > 3 else LEVELS
 
     results: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    if extend:
+        with open(os.path.join(REPO, "BENCH", "scaling_runs.json")) as f:
+            for k, v in json.load(f).items():
+                results[int(k)] = v
     for r in range(reps):
-        for cpus in LEVELS:
+        for cpus in levels:
             res = run_once(cpus, copies, iters)
             results[cpus].append(res)
             print(f"rep {r + 1} cpus={cpus}: "
