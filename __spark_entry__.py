@@ -145,9 +145,11 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.round(F.col("rank") * F.lit(n), 6).alias("rank_n"))
 
 
-def _pagerank_oracle_sql(iters: int) -> str:
+def _pagerank_oracle_sql(iters: int, p_sql: str | None = None) -> str:
     """Unrolled power iteration, Σ=1 internal / Σ=n output, exactly the
-    semantics of operators/pagerank.py (mass -> remain -> contrib -> axpy)."""
+    semantics of operators/pagerank.py (mass -> remain -> contrib -> axpy).
+    ``p_sql``: per-vertex teleport expression over column ``id`` (Σ must be
+    1); None = uniform 1/n."""
     parts = [
         _E_SQL, _U_SQL, _OD_SQL,
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
@@ -157,6 +159,14 @@ def _pagerank_oracle_sql(iters: int) -> str:
     ]
     for k in range(1, iters + 1):
         p = k - 1
+        if p_sql is None:
+            # same expression shape as the engine's scalar fast path
+            # (division by n, not multiply-by-reciprocal — ulp parity)
+            remain = (f"({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA})"
+                      f" / (SELECT n FROM nv)")
+        else:
+            remain = (f"({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA})"
+                      f" * {p_sql}")
         parts.append(
             f"m{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass "
             f"FROM r{p} r JOIN dang d ON d.id = r.id)")
@@ -165,10 +175,25 @@ def _pagerank_oracle_sql(iters: int) -> str:
             f"FROM we JOIN r{p} r ON r.id = we.src GROUP BY we.dst)")
         parts.append(
             f"r{k} AS (SELECT u.id, {ALPHA} * coalesce(c{k}.c, 0.0) "
-            f"+ ({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA}) / (SELECT n FROM nv) AS rank "
+            f"+ {remain} AS rank "
             f"FROM u LEFT JOIN c{k} ON c{k}.id = u.id)")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT id, round(rank * (SELECT n FROM nv), 6) AS rank_n FROM r{iters}")
+
+
+PPR_SEEDS = 16  # teleport concentrated uniformly on ids < 16
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank (teleport on ids < PPR_SEEDS), 3 supersteps,
+    oracle-checked via the unrolled CTE with a per-vertex teleport term."""
+    from pagerank_spark.operators.pagerank import pagerank
+    g = _graph(spark, sf_dir)
+    tp = (g.vertices.filter(F.col("id") < PPR_SEEDS)
+          .select("id", F.lit(1.0 / PPR_SEEDS).alias("p")))
+    res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS, teleport=tp)
+    return res.ranks.select(
+        "id", F.round(F.col("rank") * F.lit(float(g.n_vertices)), 6).alias("rank_n"))
 
 
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dangling": q_graph_dangling,
         "graph_degree_bins": q_graph_degree_bins,
         "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_personalized": q_pagerank_personalized,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
         "connected_components": q_connected_components,
@@ -709,6 +735,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_dangling": SQL_GRAPH_DANGLING,
         "graph_degree_bins": SQL_GRAPH_DEGREE_BINS,
         "pagerank_3iter": _pagerank_oracle_sql(PR_ITERS),
+        "pagerank_personalized": _pagerank_oracle_sql(
+            PR_ITERS,
+            p_sql=f"(CASE WHEN u.id < {PPR_SEEDS} THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END)"),
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -102,6 +102,7 @@ def pagerank(
     dangling_redistribution: bool = True,
     norm: str = "l1",
     bin_telemetry: bool = False,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """Run power iteration on a built LinkGraph.
 
@@ -132,6 +133,14 @@ def pagerank(
       unconverged-count CSV of the bblock binary (for_test.h:51-85),
       recorded into each superstep's metrics row (one extra small
       aggregate job per superstep).
+    * ``teleport`` — personalized (topic-sensitive) PageRank: an
+      ``(id, p)`` DataFrame with Σp = 1. The lightSpMV finalize is
+      ``d·(A^T r) + (1−d)·p`` with p its personalization vector
+      (PageRank.h:314-343, uniform there); with redistribution the
+      dangling mass is also re-injected proportionally to p:
+      rank' = α·contrib + (α·mass + 1 − α)·p. Missing ids get p = 0.
+      ``teleport=None`` is uniform p = 1/n (identical math, scalar
+      fast path).
     """
     spark = graph.edges.sparkSession
     ckpt = checkpointer or SuperstepCheckpointer(spark, None)
@@ -166,6 +175,10 @@ def pagerank(
                 state = state.join(graph.vertices.select("id", "is_dangling"), "id")
             if "prev_rank" not in state.columns:
                 state = state.withColumn("prev_rank", F.col("rank"))
+            if teleport is not None and "p" not in state.columns:
+                state = state.join(
+                    teleport.select("id", "p"), "id", "left"
+                ).withColumn("p", F.coalesce("p", F.lit(0.0)))
     if state is None:
         if init == "out_degree":
             # P5 (kernel_bblock.cu:56-68), normalized to Σ=1
@@ -182,6 +195,10 @@ def pagerank(
             state = graph.vertices.select(
                 "id", F.lit(1.0 / n).alias("rank"),
                 F.lit(1.0 / n).alias("prev_rank"), "is_dangling")
+        if teleport is not None:
+            state = state.join(
+                teleport.select("id", "p"), "id", "left"
+            ).withColumn("p", F.coalesce("p", F.lit(0.0)))
         state = ckpt.save(0, state)
 
     # A3 for the first superstep: dangling mass of the initial/loaded ranks
@@ -202,23 +219,30 @@ def pagerank(
     converged = False
     l1 = float("inf")
     it = start_iter
+    personalized = teleport is not None
     for it in range(start_iter + 1, max_iter + 1):
         timer = StageTimer()
-        remain = alpha * mass / n + (1.0 - alpha) / n
+        if personalized:
+            # per-vertex teleport: rank' = α·contrib + (α·mass + 1−α)·p
+            remain_expr = F.lit(alpha * mass + 1.0 - alpha) * F.col("p")
+        else:
+            remain_expr = F.lit(alpha * mass / n + (1.0 - alpha) / n)
 
         contribs = _contributions(edges, state.select("id", "rank"), use_salt,
                                   strategy=strategy)
         # left join against the full vertex universe (carried by `state`):
         # vertices with no in-edges still receive `remain`
         # (kernel_bblock.cu:333-339).
+        carry = ["prev_rank", "is_dangling"] + (["p"] if personalized else [])
         new_state = (
-            state.select("id", F.col("rank").alias("prev_rank"), "is_dangling")
+            state.select("id", F.col("rank").alias("prev_rank"), "is_dangling",
+                         *(["p"] if personalized else []))
             .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                 + F.lit(remain)).alias("rank"),
-                "prev_rank", "is_dangling",
+                 + remain_expr).alias("rank"),
+                *carry,
             )
         )
         new_state = ckpt.save(it, new_state)

@@ -18,20 +18,25 @@ def pagerank_oracle(
     alpha: float = 0.85,
     tol: float | None = 1e-6,
     max_iter: int = 100,
+    p: np.ndarray | None = None,
 ) -> np.ndarray:
+    """``p``: optional personalization vector (Σp=1) — the lightSpMV
+    personalization slot (PageRank.h:314-343) with dangling mass
+    re-injected proportionally to p."""
     src = np.array([e[0] for e in edges], dtype=np.int64)
     dst = np.array([e[1] for e in edges], dtype=np.int64)
     out_deg = np.bincount(src, minlength=n).astype(np.float64)
     w = 1.0 / out_deg[src]
     dangling = out_deg == 0
+    if p is None:
+        p = np.full(n, 1.0 / n)
 
     r = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         mass = r[dangling].sum()
-        remain = alpha * mass / n + (1.0 - alpha) / n
         contrib = np.zeros(n)
         np.add.at(contrib, dst, r[src] * w)
-        r_new = alpha * contrib + remain
+        r_new = alpha * contrib + (alpha * mass + 1.0 - alpha) * p
         l1 = np.abs(r_new - r).sum()
         r = r_new
         if tol is not None and l1 <= tol:

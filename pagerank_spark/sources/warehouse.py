@@ -16,6 +16,9 @@ without touching callers.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
@@ -32,6 +35,16 @@ def save_graph(graph: LinkGraph, name: str, buckets: int | None = None) -> None:
     edges_t, vertices_t = _table_names(name)
     if buckets is None:
         buckets = graph.edges.rdd.getNumPartitions()
+    spark = graph.edges.sparkSession
+    for t in (edges_t, vertices_t):
+        # the in-memory catalog forgets table DEFINITIONS across sessions
+        # but the warehouse files persist; saveAsTable(overwrite) refuses a
+        # location it does not own, so clear both catalog entry and files
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     (graph.edges.write.mode("overwrite")
      .bucketBy(buckets, "src").sortBy("src", "dst")
      .format("parquet").saveAsTable(edges_t))

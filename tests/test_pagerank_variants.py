@@ -88,6 +88,29 @@ def test_bin_telemetry_recorded(spark, g6):
         last[b]["mean_abs_diff"] <= first[b]["mean_abs_diff"] for b in last)
 
 
+def test_personalized_pagerank_matches_oracle(spark, g6):
+    """Topic-sensitive teleport: p concentrated on vertices {3, 5}."""
+    import pyspark.sql.functions as SF
+
+    from pagerank_spark.oracle import pagerank_oracle
+    p = np.zeros(6)
+    p[3], p[5] = 0.7, 0.3
+    tp = spark.createDataFrame([(3, 0.7), (5, 0.3)], "id long, p double")
+    res = pagerank(g6, tol=1e-10, max_iter=300, teleport=tp)
+    want = pagerank_oracle(synth.G6_EDGES, 6, 0.85, tol=1e-10, max_iter=300, p=p)
+    np.testing.assert_allclose(_vec(res, 6), want, atol=1e-9)
+    # teleport mass still conserves Σrank = 1 (dangling mass re-injected via p)
+    assert float(res.ranks.agg(SF.sum("rank")).first()[0]) == pytest.approx(1.0)
+
+
+def test_personalized_uniform_equals_default(spark, g6):
+    """Uniform p reproduces standard PageRank exactly."""
+    tp = spark.createDataFrame([(i, 1 / 6) for i in range(6)], "id long, p double")
+    a = pagerank(g6, tol=1e-10, max_iter=300)
+    b = pagerank(g6, tol=1e-10, max_iter=300, teleport=tp)
+    np.testing.assert_allclose(_vec(a, 6), _vec(b, 6), atol=1e-12)
+
+
 def test_weighted_edges_row_normalized(spark):
     """P9 (lightSpMV PageRank.h:256-274): explicit weights, |.|-row-sum
     normalized; uniform explicit weights reproduce the unweighted graph."""
