@@ -1,0 +1,71 @@
+"""Property tests (SURVEY §5): vertex-id permutation invariance, mass
+conservation, and component-partition consistency on hypothesis-generated
+graphs. Example counts are small — every example spins Spark jobs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, seed, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.components import connected_components
+from pagerank_spark.operators.graph import build_graph
+from pagerank_spark.operators.pagerank import pagerank
+
+N = 12
+EDGE = st.tuples(st.integers(0, N - 1), st.integers(0, N - 1))
+GRAPH = st.lists(EDGE, min_size=1, max_size=30)
+PROP = settings(max_examples=4, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _ranks(spark, edges, n):
+    g = build_graph(
+        spark, spark.createDataFrame(edges, "src long, dst long"), n_vertices=n)
+    res = pagerank(g, tol=1e-10, max_iter=200)
+    out = np.zeros(n)
+    for r in res.ranks.collect():
+        out[r.id] = r.rank
+    return out
+
+
+@seed(42)
+@PROP
+@given(edges=GRAPH, perm_seed=st.integers(0, 2**31))
+def test_pagerank_permutation_invariance(spark, edges, perm_seed):
+    """Relabeling vertices permutes the ranks and changes nothing else —
+    the engine must not depend on id order, partition placement, or the
+    sort order of the edge list."""
+    rng = np.random.default_rng(perm_seed)
+    pi = rng.permutation(N)
+    base = _ranks(spark, edges, N)
+    permuted = _ranks(spark, [(int(pi[s]), int(pi[d])) for s, d in edges], N)
+    np.testing.assert_allclose(permuted[pi], base, atol=1e-9)
+    assert abs(base.sum() - 1.0) < 1e-9  # mass conservation, any graph
+
+
+@seed(43)
+@PROP
+@given(edges=GRAPH, perm_seed=st.integers(0, 2**31))
+def test_components_partition_invariance(spark, edges, perm_seed):
+    """The component PARTITION (which vertices group together) is
+    permutation-invariant even though representative labels change."""
+    rng = np.random.default_rng(perm_seed)
+    pi = rng.permutation(N)
+
+    def parts(es):
+        df = spark.createDataFrame(es, "src long, dst long")
+        labels = connected_components(
+            df, universe=spark.range(N).select("id")).labels
+        lab = {r.id: r.component for r in labels.collect()}
+        groups: dict[int, frozenset] = {}
+        for v, c in lab.items():
+            groups.setdefault(c, set()).add(v)  # type: ignore[arg-type]
+        return {frozenset(g) for g in groups.values()}
+
+    base = parts(edges)
+    permuted = parts([(int(pi[s]), int(pi[d])) for s, d in edges])
+    mapped = {frozenset(int(pi[v]) for v in grp) for grp in base}
+    assert mapped == permuted
