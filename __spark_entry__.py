@@ -125,7 +125,7 @@ WITH {_E_SQL}, {_U_SQL},
 idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst),
 v AS (SELECT u.id, coalesce(idg.c, 0) AS in_deg FROM u LEFT JOIN idg ON idg.id = u.id)
 SELECT CAST(CASE WHEN in_deg = 0 THEN 0
-            ELSE least(CAST(floor(log2(in_deg - 0.1)) AS BIGINT) + 1, 13) END AS INT) AS bin,
+            ELSE least(CAST(trunc(log2(in_deg - 0.1)) AS BIGINT) + 1, 13) END AS INT) AS bin,
        count(*) AS n_vertices
 FROM v GROUP BY 1
 """

@@ -93,9 +93,17 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
                         max_bucket: int = 1000) -> DataFrame:
     """(a, b) candidate doc pairs sharing >=1 LSH band bucket (a < b).
 
-    bands*rows must equal len(sig). Buckets larger than ``max_bucket`` are
-    dropped (stop-shingle discipline): they would contribute O(bucket^2)
-    pairs and correspond to boilerplate."""
+    bands*rows must equal len(sig) — enforced per-row below: a mismatched
+    banding would slice past the signature (empty array -> one shared
+    constant bucket -> all-pairs candidates, exactly the O(n^2) blow-up
+    LSH exists to avoid). Buckets larger than ``max_bucket`` are dropped
+    (stop-shingle discipline): they would contribute O(bucket^2) pairs and
+    correspond to boilerplate."""
+    k_guard = F.when(
+        F.size("sig") == bands * rows, F.col("sig")
+    ).otherwise(F.raise_error(
+        f"minhash signature length must equal bands*rows = {bands * rows}"))
+    sigs = sigs.withColumn("sig", k_guard)
     band_cols = F.explode(
         F.array(*[
             F.struct(F.lit(j).alias("band"),
@@ -160,6 +168,8 @@ def near_duplicates_minhash(
     """End-to-end MinHash+LSH near-dup pipeline: shingle -> minhash -> band
     -> bucket-join -> exact-Jaccard verify. Returns (a, b, jaccard) pairs
     with jaccard >= threshold."""
+    if bands * rows != k:
+        raise ValueError(f"bands*rows ({bands}*{rows}) must equal k ({k})")
     sh = shingles(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(sh, k)
     cands = lsh_candidate_pairs(sigs, bands, rows)

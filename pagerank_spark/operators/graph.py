@@ -202,12 +202,16 @@ def graph_from_pages(spark: SparkSession, pages: DataFrame,
 
 
 def degree_bins(vertices: DataFrame) -> DataFrame:
-    """Reference binning K1 (kernel_bblock.cu:622-659): bin 0 for in_deg 0,
-    else floor(log2(in_deg - 0.1)) + 1 capped at 13."""
+    """Reference binning K1 (kernel_bblock.cu:636): bin 0 for in_deg 0,
+    else (int)log2(in_deg - 0.1) + 1 capped at 13. The cast truncates
+    TOWARD ZERO (C semantics): for in_deg = 1, log2(0.9) ≈ -0.15
+    truncates to 0 → bin 1; floor() would give bin 0 and lump the most
+    populous degree class of a power-law graph in with the no-in-edge
+    bin."""
     return vertices.withColumn(
         "bin",
         F.when(F.col("in_deg") == 0, F.lit(0)).otherwise(
-            F.least(F.floor(F.log2(F.col("in_deg") - 0.1)) + 1, F.lit(13))
+            F.least(F.log2(F.col("in_deg") - 0.1).cast("long") + 1, F.lit(13))
         ).cast("int"),
     )
 

@@ -166,6 +166,10 @@ def pagerank(
     # fusing `remain_value` into its SpMV kernels, kernel_bblock.cu:966).
     state: DataFrame | None = None
     start_iter = 0
+    if not resume:
+        # fresh run: clear any previous run's committed supersteps so a
+        # later resume cannot pick up stale higher-numbered checkpoints
+        ckpt.reset()
     if resume:
         last = ckpt.last_committed()
         if last is not None:
@@ -287,6 +291,11 @@ def pagerank(
             converged = True
             break
 
+    if use_salt:
+        edges.unpersist()  # the salted O(E) copy is loop-local
+
+    # dir-backed: full on-disk history (earlier runs' iterations included
+    # after a resume), else the in-memory rows of this invocation
+    metrics = ckpt.load_metrics() if ckpt.dir else ckpt.metrics
     return PageRankResult(ranks=state.select("id", "rank"), iterations=it,
-                          converged=converged, l1_diff=l1,
-                          metrics=ckpt.metrics or ckpt.load_metrics())
+                          converged=converged, l1_diff=l1, metrics=metrics)

@@ -39,7 +39,14 @@ def hyperplane_buckets(emb: DataFrame, id_col: str, vec_col: str,
     plane with the plane vector inlined as a literal array (planes are tiny:
     tables*planes*dim doubles)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if row is None:
+            # empty (or all-null) input: type-correct empty bucket table
+            # instead of a TypeError on first()[0]
+            return (emb.select(F.col(id_col).alias("id")).limit(0)
+                    .withColumn("table", F.lit(0))
+                    .withColumn("bucket", F.lit(0).cast("long")))
+        dim = len(row[0])
     v = F.col(vec_col).cast("array<double>")
     rows = []
     for t in range(tables):

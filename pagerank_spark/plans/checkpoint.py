@@ -21,18 +21,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-METRICS_SCHEMA = (
-    "iteration int, l1_diff double, dangling_mass double, rank_sum double, "
-    "edges_processed long, wall_ms double, n_partitions int, "
-    "partition_rows string"
-)
-
 
 class SuperstepCheckpointer:
     def __init__(self, spark: SparkSession, directory: str | None = None,
@@ -48,6 +42,24 @@ class SuperstepCheckpointer:
 
     def _iter_path(self, iteration: int) -> str:
         return os.path.join(self.dir, "ranks", f"iter={iteration}")
+
+    def reset(self) -> None:
+        """Clear all committed supersteps and metrics. A FRESH dir-backed
+        run must call this: otherwise higher-numbered checkpoints from a
+        previous run in the same directory survive, and a later resume
+        would silently load the OLD run's state (and metrics.jsonl would
+        interleave runs)."""
+        if self.dir is None:
+            self.metrics = []
+            return
+        base = os.path.join(self.dir, "ranks")
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        os.makedirs(base, exist_ok=True)
+        m = os.path.join(self.dir, "metrics.jsonl")
+        if os.path.exists(m):
+            os.remove(m)
+        self.metrics = []
 
     def save(self, iteration: int, ranks: DataFrame) -> DataFrame:
         """Materialize this superstep's ranks and return a lineage-free DF."""

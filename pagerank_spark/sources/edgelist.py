@@ -52,10 +52,14 @@ def read_matrix_market(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     header ``rows cols nnz`` (skipped by position, matching
     cusp::io::read_matrix_market_file semantics for pattern matrices;
     explicit values in a third column are ignored — the engine derives
-    transition weights from out-degree, kernel_bblock.cu:613).
+    transition weights from out-degree, kernel_bblock.cu:613). A
+    ``symmetric`` banner expands each off-diagonal entry to both
+    directions, as cusp does.
     """
-    lines = _lines_with_index(spark, path).filter(F.trim("line") != "")
-    data = lines.filter(~F.col("line").startswith("%")).persist()
+    lines = _lines_with_index(spark, path).filter(F.trim("line") != "").persist()
+    banner = lines.filter(F.col("idx") == 0).first()
+    symmetric = banner is not None and "symmetric" in banner["line"].lower()
+    data = lines.filter(~F.col("line").startswith("%"))
     header_idx = data.agg(F.min("idx")).first()[0]
     header = data.filter(F.col("idx") == header_idx).first()["line"]
     n = int(header.split()[0])
@@ -64,15 +68,25 @@ def read_matrix_market(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
         (toks.getItem(0).cast("long") - 1).alias("src"),
         (toks.getItem(1).cast("long") - 1).alias("dst"),
     )
+    if symmetric:
+        edges = edges.unionAll(
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     return edges, n
 
 
 def write_ranks_text(ranks: DataFrame, path: str, n_files: int = 1) -> None:
     """S3 parity sink: ``%.6f`` per line in vertex-id order
-    (kernel_bblock.cu:1099-1102 iterates i=0..n and prints 6 decimals)."""
-    out = ranks.orderBy("id").select(F.format_string("%.6f", F.col("rank")))
+    (kernel_bblock.cu:1099-1102 iterates i=0..n and prints 6 decimals).
+    ``n_files > 1`` spreads the sink over id-range-partitioned files whose
+    lexicographic part order preserves the global id order."""
+    fmt = F.format_string("%.6f", F.col("rank"))
     if n_files == 1:
-        out = out.coalesce(1)
+        out = ranks.orderBy("id").select(fmt).coalesce(1)
+    else:
+        out = (ranks.repartitionByRange(n_files, "id")
+               .sortWithinPartitions("id").select(fmt))
     out.write.mode("overwrite").text(path)
 
 

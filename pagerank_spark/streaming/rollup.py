@@ -90,7 +90,10 @@ def _sessionize(key: tuple, pdfs: Iterator[pd.DataFrame],
             closed.append((user_id, start, last, n))
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            # late (out-of-order, within-watermark) events from a later
+            # micro-batch may sort BEFORE state: never move the session
+            # boundaries backward
+            start, last, n = min(start, t), max(last, t), n + 1
     state.update((start, last, n))
     # fire when the event-time watermark passes the inactivity gap
     state.setTimeoutTimestamp(

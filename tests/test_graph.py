@@ -67,10 +67,11 @@ def test_url_dictionary_deterministic(spark):
 def test_degree_bins_match_reference_formula(spark):
     g = _g6(spark)
     bins = {r.id: r.bin for r in degree_bins(g.vertices).collect()}
-    # in_deg: [1,2,1,2,2,2] -> bin: log2(in-0.1)+1 -> in=1: floor(log2(.9))+1=0?
-    # reference: (unsigned)log2f(0.9) = 0 (cast truncation of -0.15 -> 0)... we use
-    # floor semantics: floor(log2(0.9)) = -1 -> bin 0; in=2: floor(log2(1.9))=0 -> bin 1
-    assert bins[0] == 0 and bins[1] == 1 and bins[3] == 1
+    # in_deg: [1,2,1,2,2,2]; reference (kernel_bblock.cu:636) casts with C
+    # truncation-toward-zero: in=1: (int)log2(0.9) = (int)(-0.15) = 0 -> bin 1
+    # (NOT floor, which would give -1 -> bin 0); in=2: (int)log2(1.9)=0 -> bin 1.
+    # bin 0 is reserved for in_deg == 0 exactly.
+    assert bins[0] == 1 and bins[1] == 1 and bins[3] == 1
 
 
 def test_salted_aggregation_equals_unsalted(spark):

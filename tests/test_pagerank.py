@@ -115,6 +115,25 @@ def test_checkpoint_resume_identical(spark, tmp_path, g6):
     assert rows and all("partition_rows" in m for m in rows)
 
 
+def test_fresh_run_clears_stale_checkpoints(spark, tmp_path, g6):
+    """A fresh (resume=False) dir-backed run must reset the directory:
+    otherwise a later resume loads the PREVIOUS run's higher-numbered
+    superstep as its starting state."""
+    d = str(tmp_path / "ck2")
+    pagerank(g6, tol=None, max_iter=12, checkpointer=SuperstepCheckpointer(spark, d))
+    ck2 = SuperstepCheckpointer(spark, d)
+    pagerank(g6, tol=None, max_iter=5, checkpointer=ck2)  # fresh, same dir
+    assert ck2.last_committed() == 5  # iters 6..12 from run 1 are gone
+    rows = ck2.load_metrics()
+    assert [m["iteration"] for m in rows] == list(range(1, 6))  # no run mixing
+    # resuming now continues run 2, ending identical to a straight 12-iter run
+    resumed = pagerank(g6, tol=None, max_iter=12,
+                       checkpointer=SuperstepCheckpointer(spark, d), resume=True)
+    straight = pagerank(g6, tol=None, max_iter=12)
+    np.testing.assert_allclose(
+        _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15)
+
+
 def test_reference_scale_view(spark, g6):
     res = pagerank(g6, alpha=0.85, tol=1e-9)
     ref = {r.id: r.rank for r in res.reference_scale().collect()}

@@ -42,6 +42,30 @@ def test_read_matrix_market(spark, tmp_path):
     assert sorted((r.src, r.dst) for r in edges.collect()) == sorted(synth.G6_EDGES)
 
 
+def test_read_matrix_market_symmetric_expands(spark, tmp_path):
+    """cusp parity: a `symmetric` banner stores each undirected edge once;
+    the reader must expand off-diagonal entries both ways."""
+    content = "%%MatrixMarket matrix coordinate pattern symmetric\n"
+    content += "3 3 3\n1 2\n2 3\n2 2\n"
+    p = tmp_path / "sym.mtx"
+    p.write_text(content)
+    edges, n = read_matrix_market(spark, str(p))
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    assert got == [(0, 1), (1, 0), (1, 1), (1, 2), (2, 1)]
+
+
+def test_text_sink_multi_file_preserves_order(spark, tmp_path, g6_file):
+    edges, n = read_edge_list(spark, g6_file)
+    g = build_graph(spark, edges, n_vertices=n)
+    res = pagerank(g, alpha=0.9, tol=1e-10, max_iter=300)
+    out = tmp_path / "ranks_multi"
+    write_ranks_text(res.reference_scale(), str(out), n_files=3)
+    parts = sorted(out.glob("part-*"))
+    assert len(parts) >= 2
+    vals = [float(x) for p in parts for x in p.read_text().split()]
+    np.testing.assert_allclose(np.array(vals) / 6.0, synth.G6_RANKS_A09, atol=1e-3)
+
+
 def test_text_sink_reference_parity(spark, tmp_path, g6_file):
     """6-decimal, vertex-id order — the byte format of kernel_bblock.cu:1099."""
     edges, n = read_edge_list(spark, g6_file)

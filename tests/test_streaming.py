@@ -47,6 +47,35 @@ def test_hourly_rollup_matches_batch(spark, tmp_path):
         assert got[k][1] == pytest.approx(want[k][1])
 
 
+def test_sessionize_late_event_does_not_split_session(spark, tmp_path):
+    """A late (out-of-order, within-watermark) event arriving in a LATER
+    micro-batch must not move the session's `last` backward — that would
+    spuriously close the session on the next on-time event."""
+    d = tmp_path / "ev_late"
+    d.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(i, T0 + dt.timedelta(seconds=s), u, et, float(v), "{}")
+             for i, (s, u, et, v) in enumerate(rows)],
+            schema="event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / name))
+
+    # batch 1: 10:00:00 and 10:20:00; batch 2: late 10:05:00 + on-time 10:40:00
+    write_file("b1", [(0, 9, "view", 1.0), (1200, 9, "view", 1.0)])
+    write_file("b2", [(300, 9, "view", 1.0), (2400, 9, "view", 1.0)])
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(str(d) + "/*/*.parquet"))
+    run_to_memory(sessionize_stream(ev), "late_t", output_mode="append")
+    # 10:40 - true_last(10:20) = 20 min < gap: one session, nothing closed.
+    # With the backward-last bug, 10:40 - 10:05 = 35 min closes it spuriously.
+    assert spark.table("late_t").count() == 0
+
+
 def test_sessionize_stream_closed_sessions(spark, tmp_path):
     # user 7: two sessions separated by a 2-hour gap; the second stays open
     rows = [(0, 7, "view", 1.0), (60, 7, "view", 1.0), (120, 7, "click", 1.0),
