@@ -589,19 +589,119 @@ WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5
 """
 
 
+# shared 60-bit hash (first 15 md5 hex digits as int64): the one hash both
+# engines can compute bit-identically, making the MinHash/SimHash pipelines
+# oracle-checkable END-TO-END (same shingle ids, same band buckets, same
+# fingerprints). Production default stays xxhash64 (operators/dedup.py).
+_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+_M31 = (1 << 31) - 1
+_MH_K, _MH_BANDS, _MH_ROWS = 64, 16, 4
+_SH_BITS, _SH_BLOCK_BITS, _SH_MAXHAM = 60, 15, 3
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only; recall vs exact tested in pytest)."""
-    from pagerank_spark.operators.dedup import near_duplicates_minhash
+    """MinHash+LSH near-dup pairs over the shared engine-parity hash
+    (oracle: the identical shingle->minhash->band->bucket->verify pipeline
+    unrolled in SQL; recall vs exact Jaccard tested in pytest)."""
+    from pagerank_spark.operators.dedup import near_duplicates_minhash, shared_hash60
     docs = _t(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, threshold=0.5).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard"))
+    return near_duplicates_minhash(
+        docs, threshold=0.5, k=_MH_K, bands=_MH_BANDS, rows=_MH_ROWS,
+        hash_fn=shared_hash60,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_lsh_oracle_sql(threshold: float = 0.5, max_bucket: int = 1000) -> str:
+    """The full MinHash+LSH pipeline in DuckDB SQL, numerically identical to
+    operators/dedup.py under shared_hash60: 31-bit affine permutations as
+    64 min-aggs, md5-hash band buckets, bucket-size cap, exact-Jaccard
+    verify on candidates."""
+    from pagerank_spark.operators.dedup import _minhash_params
+    params = _minhash_params(_MH_K)
+    h60 = _H60.format(s="g")
+    mins = ",\n       ".join(
+        f"min(((shingle % {_M31}) * {a} + {b}) % {_M31}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    bucket_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {h} AS bucket FROM sig".format(
+            j=j,
+            h=_H60.format(s="array_to_string([{cols}], ',')".format(
+                cols=", ".join(f"m{j * _MH_ROWS + r}" for r in range(_MH_ROWS)))))
+        for j in range(_MH_BANDS))
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+gr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)),
+sh AS (SELECT doc_id, {h60} AS shingle FROM gr),
+sig AS (SELECT doc_id,
+       {mins}
+       FROM sh GROUP BY doc_id),
+buckets AS (
+  {bucket_rows}
+),
+cnt AS (SELECT band, bucket, count(*) AS c FROM buckets GROUP BY 1, 2),
+small AS (SELECT b.doc_id, b.band, b.bucket FROM buckets b
+          JOIN cnt ON cnt.band = b.band AND cnt.bucket = b.bucket
+          WHERE cnt.c <= {max_bucket}),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM small x JOIN small y ON x.band = y.band AND x.bucket = y.bucket
+          WHERE x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, count(*) AS i
+          FROM pairs p
+          JOIN sh xa ON xa.doc_id = p.a
+          JOIN sh xb ON xb.doc_id = p.b AND xb.shingle = xa.shingle
+          GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= {threshold}
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
-    from pagerank_spark.operators.dedup import simhash_near_duplicates
+    """SimHash near-dup pairs, hamming <= 3, 60-bit fingerprints over the
+    shared engine-parity hash (oracle: same per-bit sums in SQL)."""
+    from pagerank_spark.operators.dedup import simhash_near_duplicates, shared_hash60
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    return simhash_near_duplicates(
+        docs, max_hamming=_SH_MAXHAM, bits=_SH_BITS,
+        block_bits=_SH_BLOCK_BITS, hash_fn=shared_hash60,
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_oracle_sql() -> str:
+    """60-bit SimHash + pigeonhole blocking in DuckDB SQL, numerically
+    identical to operators/dedup.py under shared_hash60."""
+    n_blocks = _SH_BITS // _SH_BLOCK_BITS
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    h60 = _H60.format(s="t")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(_SH_BITS))
+    block_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS blk, "
+        f"(simhash >> {j * _SH_BLOCK_BITS}) & {mask} AS val FROM fp"
+        for j in range(n_blocks))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents),
+hh AS (SELECT doc_id, {h60} AS h FROM tok),
+agg AS (SELECT doc_id,
+       {sums}
+       FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS simhash FROM agg),
+blocks AS (
+  {block_rows}
+),
+cands AS (SELECT DISTINCT x.doc_id AS a, x.simhash AS ha,
+                 y.doc_id AS b, y.simhash AS hb
+          FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.val = y.val
+          WHERE x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= {_SH_MAXHAM}
+"""
 
 
 def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,30 +736,36 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming path (rows-only): drain the events parquet as a
-    file-source stream through the watermarked tumbling-window rollup into
-    a memory sink, return the drained table. Batch equivalence with
-    `events_hourly_rollup` is asserted in tests/test_streaming.py."""
+    """Structured Streaming path: drain the events parquet as a file-source
+    stream through the watermarked tumbling-window rollup into a memory
+    sink, return the drained table. The stream aggregates through exact
+    DECIMAL(18,6) (order-independent), so the result hash-matches the
+    batch oracle SQL_EVENTS_HOURLY; batch equivalence is additionally
+    asserted in tests/test_streaming.py."""
     from pagerank_spark.streaming.rollup import hourly_rollup_stream, run_to_memory
     import os
+    import shutil
     import tempfile
     # the file stream source wants a DIRECTORY; expose the single parquet
-    # file through a temp dir symlink
+    # file through a temp dir symlink (removed after the drain)
     d = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(d, "events.parquet"))
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp_ntz, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(d)
-          # watermarks require TIMESTAMP (with zone); session tz is UTC so
-          # the NTZ->TZ cast is value-preserving
-          .withColumn("ts", F.col("ts").cast("timestamp")))
-    run_to_memory(hourly_rollup_stream(ev), "q_stream_rollup",
-                  output_mode="complete")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(d, "events.parquet"))
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp_ntz, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(d)
+              # watermarks require TIMESTAMP (with zone); session tz is UTC
+              # so the NTZ->TZ cast is value-preserving
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        run_to_memory(hourly_rollup_stream(ev), "q_stream_rollup",
+                      output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return (spark.table("q_stream_rollup")
-            .select("hour", "event_type", "n_events",
-                    F.round("sum_value", 6).alias("sum_value")))
+            .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
+                    "event_type", "n_events", "sum_value"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,8 +859,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_profile": _docs_profile_sql(),
         "docs_exact_duplicates": SQL_DOCS_EXACT_DUPES,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
         "similarity_topk_cosine": SQL_SIMILARITY_TOPK,
+        # the streaming path aggregates through exact DECIMAL(18,6), so the
+        # batch rollup SQL is its oracle too (same groups, same sums)
+        "streaming_hourly_rollup": SQL_EVENTS_HOURLY,
         # rows-only (non-SQL-expressible): pagerank_converged,
-        # pagerank_webgraph_e2e, dedup_minhash_lsh, dedup_simhash,
-        # similarity_ann_lsh, multimodal_features
+        # pagerank_webgraph_e2e (pandas-UDF link extraction),
+        # multimodal_features (mapInPandas media decode)
     }

@@ -32,6 +32,22 @@ from pagerank_spark.operators.textops import tokens
 _MERSENNE31 = (1 << 31) - 1
 
 
+def shared_hash60(col: Column) -> Column:
+    """60-bit deterministic string hash computable IDENTICALLY in Spark and
+    DuckDB: the first 15 hex digits of md5, as a non-negative int64.
+
+    Spark:  conv(substring(md5(s), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+    Exists so the MinHash/SimHash pipelines can be cross-checked end-to-end
+    against a SQL oracle engine; the default ``xxhash64`` (JVM-side, no md5
+    string round-trip) stays the production hash."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+DUCKDB_HASH60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -54,9 +70,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
+             n: int = 3, hash_fn=F.xxhash64) -> DataFrame:
     """(doc_id, shingle) — distinct lower-cased word n-gram per doc, as a
-    64-bit hash (xxhash64) so downstream state is fixed-width."""
+    64-bit hash so downstream state is fixed-width. ``hash_fn`` defaults to
+    the JVM-side xxhash64; pass ``shared_hash60`` for oracle parity."""
     toks = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -64,7 +81,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("shingle"))
+        .select("doc_id", hash_fn(F.col("g")).alias("shingle"))
         .distinct()
     )
 
@@ -90,7 +107,7 @@ def minhash_signatures(sh: DataFrame, k: int = 64, seed: int = 42) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000, hash_fn=F.xxhash64) -> DataFrame:
     """(a, b) candidate doc pairs sharing >=1 LSH band bucket (a < b).
 
     bands*rows must equal len(sig) — enforced per-row below: a mismatched
@@ -107,7 +124,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
     band_cols = F.explode(
         F.array(*[
             F.struct(F.lit(j).alias("band"),
-                     F.xxhash64(F.slice("sig", j * rows + 1, rows).cast("string"))
+                     hash_fn(F.concat_ws(
+                         ",", F.slice("sig", j * rows + 1, rows).cast("array<string>")))
                      .alias("bucket"))
             for j in range(bands)
         ])
@@ -164,15 +182,17 @@ def near_duplicates_minhash(
     docs: DataFrame, threshold: float = 0.8, k: int = 64,
     bands: int = 16, rows: int = 4, ngram: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int = 1000, hash_fn=F.xxhash64,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pipeline: shingle -> minhash -> band
     -> bucket-join -> exact-Jaccard verify. Returns (a, b, jaccard) pairs
-    with jaccard >= threshold."""
+    with jaccard >= threshold. ``hash_fn=shared_hash60`` makes every stage
+    reproducible in a SQL oracle engine (same shingle ids, same buckets)."""
     if bands * rows != k:
         raise ValueError(f"bands*rows ({bands}*{rows}) must equal k ({k})")
-    sh = shingles(docs, id_col, text_col, ngram)
+    sh = shingles(docs, id_col, text_col, ngram, hash_fn=hash_fn)
     sigs = minhash_signatures(sh, k)
-    cands = lsh_candidate_pairs(sigs, bands, rows)
+    cands = lsh_candidate_pairs(sigs, bands, rows, max_bucket, hash_fn=hash_fn)
     return exact_jaccard(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
@@ -180,13 +200,15 @@ def near_duplicates_minhash(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_fn=F.xxhash64) -> DataFrame:
     """(doc_id, simhash long) — sign of per-bit ±1 sums over token hashes,
-    one groupBy pass with ``bits`` conditional sums (JVM-side)."""
+    one groupBy pass with ``bits`` conditional sums (JVM-side).
+    ``hash_fn=shared_hash60`` (with bits<=60) gives oracle-reproducible
+    fingerprints."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", hash_fn(F.col("t")).alias("h"))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
@@ -205,14 +227,16 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
-                            block_bits: int = 16) -> DataFrame:
+                            block_bits: int = 16, bits: int = 64,
+                            hash_fn=F.xxhash64) -> DataFrame:
     """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
 
-    Blocking: with 64/block_bits=4 blocks and max_hamming<=3, any qualifying
-    pair agrees exactly on >=1 block (pigeonhole) — candidates come from
-    equi-joins on block values, never a cross join."""
-    fps = simhash(docs, id_col, text_col)
-    n_blocks = 64 // block_bits
+    Blocking: with bits/block_bits blocks and max_hamming < n_blocks, any
+    qualifying pair agrees exactly on >=1 block (pigeonhole) — candidates
+    come from equi-joins on block values, never a cross join."""
+    fps = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    n_blocks = bits // block_bits
+    assert n_blocks * block_bits == bits, "block_bits must divide bits"
     assert max_hamming < n_blocks, "pigeonhole requires max_hamming < n_blocks"
     mask = (1 << block_bits) - 1
     blocks = fps.select(

@@ -118,6 +118,18 @@ def build_graph(
     if edge_partitions is None:
         edge_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    raw_edges = edges
+    if "w" in edges.columns:
+        # P9 guard: NULL / zero weights would otherwise make wsum 0 (or
+        # silently drop rows from it) and 0/0 = NaN poisons every
+        # downstream rank while L1 never converges. A zero-weight edge
+        # carries no transition probability — drop it BEFORE degrees are
+        # counted, so a source whose edges are all |w|=0/NULL has no
+        # effective out-edges and is correctly flagged dangling (the
+        # default vertex universe still comes from the RAW edge list, so
+        # such a vertex stays in the graph as a dangling one).
+        edges = edges.filter(F.col("w").isNotNull() & (F.abs("w") > 0))
+
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
 
@@ -127,8 +139,8 @@ def build_graph(
         universe = spark.range(n_vertices).select(F.col("id"))
     else:
         universe = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
+            raw_edges.select(F.col("src").alias("id"))
+            .unionByName(raw_edges.select(F.col("dst").alias("id")))
             .distinct()
         )
 

@@ -179,6 +179,17 @@ def pagerank(
                 state = state.join(graph.vertices.select("id", "is_dangling"), "id")
             if "prev_rank" not in state.columns:
                 state = state.withColumn("prev_rank", F.col("rank"))
+            # teleport/checkpoint consistency: a personalized run's state
+            # carries its `p` column. Resuming with teleport=None must NOT
+            # silently fall back to uniform teleport (different fixed
+            # point!) — reuse the stored p. Resuming with a DIFFERENT
+            # teleport must not silently keep the stale stored p — replace
+            # it with the one passed.
+            if "p" in state.columns:
+                if teleport is None:
+                    teleport = state.select("id", "p")
+                else:
+                    state = state.drop("p")
             if teleport is not None and "p" not in state.columns:
                 state = state.join(
                     teleport.select("id", "p"), "id", "left"

@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,21 +45,33 @@ class SuperstepCheckpointer:
         return os.path.join(self.dir, "ranks", f"iter={iteration}")
 
     def reset(self) -> None:
-        """Clear all committed supersteps and metrics. A FRESH dir-backed
+        """Retire all committed supersteps and metrics. A FRESH dir-backed
         run must call this: otherwise higher-numbered checkpoints from a
         previous run in the same directory survive, and a later resume
         would silently load the OLD run's state (and metrics.jsonl would
-        interleave runs)."""
+        interleave runs).
+
+        Destruction is NOT silent: a non-empty previous run is moved aside
+        to ``ranks.old`` / ``metrics.jsonl.old`` (one generation kept) with
+        a warning, so an operator who meant ``resume=True`` but forgot can
+        still recover the state this checkpointer exists to protect."""
         if self.dir is None:
             self.metrics = []
             return
         base = os.path.join(self.dir, "ranks")
-        if os.path.isdir(base):
-            shutil.rmtree(base)
+        if os.path.isdir(base) and os.listdir(base):
+            old = base + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.replace(base, old)
+            warnings.warn(
+                f"SuperstepCheckpointer: fresh run over non-empty checkpoint "
+                f"dir {self.dir!r}; previous run moved to {old!r} (pass "
+                f"resume=True to continue it instead)", stacklevel=3)
         os.makedirs(base, exist_ok=True)
         m = os.path.join(self.dir, "metrics.jsonl")
         if os.path.exists(m):
-            os.remove(m)
+            os.replace(m, m + ".old")
         self.metrics = []
 
     def save(self, iteration: int, ranks: DataFrame) -> DataFrame:

@@ -22,12 +22,16 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or get) a local SparkSession tuned for this engine.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (itself defaulting to 32).
     In local mode there is one JVM; on a real cluster the same configs
     apply, with ``master``/memory supplied by spark-submit instead.
+    ``master`` overrides the ``local[cpus]`` default (e.g.
+    ``local-cluster[2,8,16384]`` for the multi-JVM scaling evidence —
+    separate executor JVMs with a real network shuffle between them).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -38,7 +42,7 @@ def get_spark(
         shuffle_partitions = max(cpus * 2, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))

@@ -56,8 +56,13 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        # exact DECIMAL accumulation: the sum is identical regardless of
+        # row/micro-batch arrival order, so the streaming result is
+        # hash-comparable against the batch/DuckDB rollup (fp doubles
+        # would differ in the last ulps by summation order)
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum("value").alias("sum_value"))
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"))
         .select(F.col("win.start").alias("hour"), "event_type",
                 "n_events", "sum_value")
     )
@@ -67,8 +72,9 @@ def _sessionize(key: tuple, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-user session assembly. State = (start_ms, last_ms, n_events).
 
-    Emits a row per CLOSED session: a gap > 30 min inside the batch, or a
-    processing-time timeout firing for an idle user.
+    Emits a row per CLOSED session: a gap > 30 min inside the batch, or an
+    EVENT-TIME timeout firing once the watermark passes
+    last_event + gap for an idle user.
     """
     (user_id,) = key
     if state.hasTimedOut:
@@ -124,10 +130,12 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
     """Drain all available input into a memory sink (test/bench harness).
 
     Uses processAllAvailable + stop rather than trigger(availableNow):
-    a stateful operator with a processing-time timeout keeps an
-    availableNow query alive waiting to service future timeouts, so
-    awaitTermination never returns; processAllAvailable blocks only until
-    the backlog is processed."""
+    a stateful operator with an event-time timeout may need extra no-data
+    micro-batches after the last input batch for the final watermark
+    advance to fire pending timeouts; processAllAvailable blocks until
+    the backlog (including those no-data batches) is fully processed,
+    while an availableNow query's termination point depends on trigger
+    accounting, not on the state having drained."""
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).start())
     q.processAllAvailable()

@@ -1,9 +1,13 @@
 """One scaling-run worker: PageRank on an expanded derived graph at a given
 parallelism, fixed iteration budget. Prints one JSON line.
 
-Usage: python tools/scale_worker.py <cpus> [copies=16] [iters=10] [sf_dir]
+Usage: python tools/scale_worker.py <level> [copies=16] [iters=10] [sf_dir]
+``level`` is either an integer N (-> master local[N], threads in one JVM)
+or WxC (-> master local-cluster[W,C,mem], W separate executor JVMs with C
+cores each and a real serialized network shuffle between them — the
+closest in-sandbox analogue of N vs 4N executors).
 Run in a FRESH process per parallelism level (the Spark session is
-JVM-cached; local[N] cannot change within a process).
+JVM-cached; the master cannot change within a process).
 """
 
 from __future__ import annotations
@@ -25,18 +29,28 @@ def main() -> None:
     from pagerank_spark.operators.pagerank import pagerank
     from pagerank_spark.session import get_spark
 
-    cpus = int(sys.argv[1])
+    level = sys.argv[1]
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "x" in level:  # WxC -> W executor JVMs x C cores (multi-JVM shuffle)
+        workers, cores = (int(v) for v in level.split("x"))
+        cpus = workers * cores
+        mem_mb = int(os.environ.get("SCALE_EXECUTOR_MEM_MB", "16384"))
+        master = f"local-cluster[{workers},{cores},{mem_mb}]"
+    else:
+        cpus = int(level)
+        master = None  # local[cpus]
 
     # Same PHYSICAL job at every parallelism level: pin the partition count
     # (else partial-agg output and shuffle layout differ between N and 4N
     # runs and the comparison measures different plans, not different
     # parallelism).
     parts = os.environ.get("SCALE_SHUFFLE_PARTITIONS", "64")
-    spark = get_spark(f"scale_{cpus}", cpus=cpus, shuffle_partitions=int(parts))
+    spark = get_spark(f"scale_{level}", cpus=cpus, shuffle_partitions=int(parts),
+                      master=master)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # deterministic x`copies` expansion of the derived link graph: each copy
     # shifts ids by coprime strides, preserving the degree structure
@@ -63,6 +77,8 @@ def main() -> None:
     med_ms = walls[len(walls) // 2]
 
     print(json.dumps({
+        "level": level,
+        "master": master or f"local[{cpus}]",
         "cpus": cpus,
         "n_edges": g.n_edges,
         "n_vertices": g.n_vertices,
