@@ -727,12 +727,57 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_ANN_PLANES, _ANN_TABLES, _ANN_SEED, _ANN_DIM = 12, 6, 42, 64
+
+
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (rows-only; recall tested in pytest)."""
+    """Hyperplane-LSH approximate top-5 (oracle: identical deterministic
+    plane matrix inlined as SQL literals, sign-bit buckets via
+    list_dot_product; recall vs brute force additionally tested in pytest)."""
     from pagerank_spark.operators.similarity import ann_topk_lsh
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+    return ann_topk_lsh(emb, queries, k=5, planes=_ANN_PLANES,
+                        tables=_ANN_TABLES, seed=_ANN_SEED
+                        ).select("query_id", "neighbor_id", "rank")
+
+
+def _ann_lsh_oracle_sql(k: int = 5) -> str:
+    """The LSH bucket pipeline in DuckDB SQL. The plane matrix is the same
+    deterministic mix3-derived one the Spark operator uses
+    (operators/similarity.py plane_matrix), inlined as literals; float
+    repr() round-trips exactly, so both engines hold bit-identical planes.
+    Sign bits could only diverge for |v·plane| within fp-summation noise of
+    0 (~1e-15 of the term magnitudes) — nonexistent on real embeddings."""
+    from pagerank_spark.operators.similarity import plane_matrix
+    P = plane_matrix(_ANN_DIM, _ANN_PLANES, _ANN_TABLES, _ANN_SEED)
+    rows = []
+    for t in range(_ANN_TABLES):
+        for p in range(_ANN_PLANES):
+            vec = ", ".join(repr(float(x)) for x in P[t * _ANN_PLANES + p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH pl(tbl, p, vec) AS (VALUES
+{values}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT e.vec_id, pl.tbl AS tbl,
+             sum(CASE WHEN list_dot_product(e.v, pl.vec) >= 0
+                 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+      FROM e, pl GROUP BY 1, 2),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         FROM b qb JOIN b cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+         WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+s AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cos
+      FROM cand c JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= {k}
+"""
 
 
 def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "similarity_topk_cosine": SQL_SIMILARITY_TOPK,
+        "similarity_ann_lsh": _ann_lsh_oracle_sql(),
         # the streaming path aggregates through exact DECIMAL(18,6), so the
         # batch rollup SQL is its oracle too (same groups, same sums)
         "streaming_hourly_rollup": SQL_EVENTS_HOURLY,

@@ -16,18 +16,26 @@ products are Catalyst higher-order functions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from pagerank_spark.functions.hashing import mix3
 from pagerank_spark.operators.dedup import cosine
 
 
 def _plane(dim: int, table: int, plane: int, seed: int) -> np.ndarray:
-    """Deterministic pseudo-random unit hyperplane: components are
+    """Deterministic pseudo-random hyperplane: components are
     mix3(d, table*1024+plane, seed) mapped to [-1, 1)."""
     h = mix3(np.arange(dim, dtype=np.uint64), table * 1024 + plane, seed)
     return (h.astype(np.float64) / 2.0**63) - 1.0
+
+
+def plane_matrix(dim: int, planes: int, tables: int, seed: int) -> np.ndarray:
+    """(tables*planes, dim) deterministic plane matrix, row t*planes+p."""
+    return np.stack([_plane(dim, t, p, seed)
+                     for t in range(tables) for p in range(planes)])
 
 
 def hyperplane_buckets(emb: DataFrame, id_col: str, vec_col: str,
@@ -35,9 +43,14 @@ def hyperplane_buckets(emb: DataFrame, id_col: str, vec_col: str,
                        tables: int = 4, dim: int | None = None) -> DataFrame:
     """(id, table, bucket) — sign-pattern bucket per LSH table.
 
-    bucket = bits of sign(v . plane_j); computed as a JVM expression per
-    plane with the plane vector inlined as a literal array (planes are tiny:
-    tables*planes*dim doubles)."""
+    bucket_t = Σ_p sign(v · plane_{t,p}) << p, for ALL tables at once via
+    ONE Arrow-batched pandas UDF doing a (batch × dim)·(dim × tables·planes)
+    matmul against the closure-captured plane matrix. The plan is O(1) in
+    dim/planes/tables — the earlier per-plane JVM expression inlined every
+    plane as literals, and at dim=768 with 6 tables × 12 planes the
+    projection held ~55k expression nodes (Catalyst planning/codegen
+    blowup). The matrix itself is tiny (tables·planes·dim doubles) and
+    ships once per executor inside the serialized UDF."""
     if dim is None:
         row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if row is None:
@@ -47,22 +60,21 @@ def hyperplane_buckets(emb: DataFrame, id_col: str, vec_col: str,
                     .withColumn("table", F.lit(0))
                     .withColumn("bucket", F.lit(0).cast("long")))
         dim = len(row[0])
-    v = F.col(vec_col).cast("array<double>")
-    rows = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(planes):
-            plane = _plane(dim, t, p, seed)
-            dot = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in plane]),
-                           lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x)
-            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            bucket = bucket + F.shiftleft(bit, p)
-        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    P = plane_matrix(dim, planes, tables, seed)          # (T*B, dim)
+    weights = (1 << np.arange(planes, dtype=np.int64))   # bit weight per plane
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)    # (batch, dim)
+        signs = (M @ P.T) >= 0.0                          # (batch, T*B)
+        b = signs.reshape(len(M), tables, planes) @ weights  # (batch, T)
+        return pd.Series(list(b))
+
     return (
-        emb.select(F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb"))
-        .select("id", "tb.table", "tb.bucket")
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.posexplode(_buckets(F.col(vec_col).cast("array<double>")))
+                .alias("table", "bucket"))
     )
 
 

@@ -77,3 +77,34 @@ def test_embedding_near_duplicates(spark):
     pairs = dedup.embedding_near_duplicates(both, threshold=0.99)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (1, 90_001) in got
+
+
+def test_lsh_max_bucket_drops_boilerplate_hot_bucket(spark):
+    """The hot-key discipline, exercised: 30 byte-identical boilerplate docs
+    share every band bucket (30 docs/bucket); with max_bucket=10 those
+    buckets are dropped, contributing ZERO of their O(bucket^2)=435 pairs,
+    while a planted near-dup pair with distinct content in small buckets is
+    still found. With the cap lifted the boilerplate pairs reappear —
+    proving the cap (dedup.py lsh_candidate_pairs), not shingle luck, is
+    what bounds the fan-out."""
+    boiler = ("click here to accept cookies and subscribe to our newsletter "
+              "terms of service privacy policy all rights reserved") * 3
+    uniq = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles recite ancient poetry under a crimson moon")
+    rows = [(i, boiler) for i in range(100, 130)]
+    rows.append((1, uniq))
+    rows.append((2, uniq + " extra tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, k=64)
+
+    capped = {(r.a, r.b)
+              for r in dedup.lsh_candidate_pairs(sigs, 16, 4, max_bucket=10).collect()}
+    assert (1, 2) in capped
+    boiler_pairs = {p for p in capped if p[0] >= 100 and p[1] >= 100}
+    assert boiler_pairs == set(), f"hot bucket leaked {len(boiler_pairs)} pairs"
+
+    uncapped = {(r.a, r.b)
+                for r in dedup.lsh_candidate_pairs(sigs, 16, 4, max_bucket=10_000).collect()}
+    assert {(a, b) for a in range(100, 130) for b in range(a + 1, 130)} <= uncapped

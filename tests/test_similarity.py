@@ -59,3 +59,37 @@ def test_ann_schema_matches_exact(spark, emb):
     a = cosine_topk(emb, queries, k=3)
     b = ann_topk_lsh(emb, queries, k=3)
     assert a.columns == b.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_buckets_high_dim_plan_size_independent(spark):
+    """dim=512 with many tables/planes must not inflate the Catalyst plan:
+    the pandas-UDF matmul keeps the projection O(1) in dim*planes*tables
+    (the old per-plane literal expansion held ~55k expression nodes at
+    dim=768). Also sanity-check bucket determinism and range."""
+    from pagerank_spark.operators.similarity import hyperplane_buckets
+
+    rng = np.random.default_rng(7)
+    dim, n = 512, 40
+    rows = [(i, rng.standard_normal(dim).astype(float).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    b = hyperplane_buckets(df, "vec_id", "embedding", planes=12, tables=6)
+    plan = b._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+
+    got = b.collect()
+    assert len(got) == n * 6
+    assert all(0 <= r.bucket < (1 << 12) for r in got)
+    # deterministic: recompute equals first run
+    again = {(r.id, r.table): r.bucket for r in b.collect()}
+    for r in got:
+        assert again[(r.id, r.table)] == r.bucket
+
+    # buckets agree with a direct NumPy evaluation of the same planes
+    from pagerank_spark.operators.similarity import plane_matrix
+    P = plane_matrix(dim, 12, 6, 42)
+    M = np.array([v for _, v in rows])
+    signs = (M @ P.T) >= 0
+    want = signs.reshape(n, 6, 12) @ (1 << np.arange(12, dtype=np.int64))
+    for r in got:
+        assert r.bucket == int(want[r.id, r.table]), (r.id, r.table)
