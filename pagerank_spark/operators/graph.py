@@ -13,11 +13,13 @@ This is the DataFrame re-expression of the reference's load path
   bookmark_h (dangling flag)              ``is_dangling`` column on vertices
   degree bins g1/g2                       in-degree stats -> salt fan-out map
 
-Vertex ids: a dense, deterministic url->long dictionary built by sorting the
-url universe and ``zipWithIndex`` (the one RDD use in the engine — Spark has
-no distributed dense-rank that avoids a single-partition window; sort +
-zipWithIndex is the standard scalable idiom). Ids are an internal detail,
-exactly as the reference's 1->0 index shift is.
+Vertex ids: a dense, deterministic url->long dictionary built entirely
+JVM-side — range-partition + sort by url, then global id = broadcast
+per-partition offset + row-number-within-partition recovered from
+``monotonically_increasing_id``'s (partition, row) bit layout. No RDD, no
+Python serialization of the url universe, no single-partition window. Ids
+are an internal detail, exactly as the reference's 1->0 index shift is
+(load-time-only there too, /root/reference/kernel_bblock.cu:590-592).
 """
 
 from __future__ import annotations
@@ -31,18 +33,58 @@ from pyspark.storagelevel import StorageLevel
 from pagerank_spark.functions.extract import extract_outlinks
 
 
-def url_id_dictionary(urls: DataFrame) -> DataFrame:
-    """Deterministic dense id per distinct url: sort + zipWithIndex.
+def url_id_dictionary(urls: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Deterministic dense id per distinct url, fully JVM-side.
 
-    Returns ``(url string, id long)``. Dense ids keep downstream shuffle
-    keys 8 bytes and make rank vectors addressable exactly like the
-    reference's vertex-indexed arrays.
+    Returns ``(url string, id long)`` with ids 0..n-1 in global sorted-url
+    order. Dense ids keep downstream shuffle keys 8 bytes and make rank
+    vectors addressable exactly like the reference's vertex-indexed arrays.
+
+    Physical recipe (scales: the url universe never leaves the executors):
+      1. distinct urls, range-partitioned + sorted by url, persisted —
+         partition p holds a contiguous sorted slice of the url space;
+      2. one tiny aggregate collects per-partition row counts (O(P) to the
+         driver) -> cumulative offsets, broadcast back as a P-row join;
+      3. ``monotonically_increasing_id`` over the SAME cached layout packs
+         (partition_id << 33) | row_in_partition; unpacking it and adding
+         the partition's offset yields the global sorted position — no
+         second sort, no window over a single partition, no Python.
+    Requires < 2^33 rows per partition (the mid bit layout), which the
+    range partitioning guarantees by construction at any sane P.
     """
     spark = urls.sparkSession
-    rdd = urls.select("url").distinct().sort("url").rdd.map(lambda r: r[0])
-    return spark.createDataFrame(
-        rdd.zipWithIndex(), schema="url string, id long"
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        urls.select("url").distinct()
+        .repartitionByRange(partitions, "url")
+        .sortWithinPartitions("url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    counts = (
+        d.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r.pid):
+        offsets.append((r.pid, acc))
+        acc += r.cnt
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    mid = F.monotonically_increasing_id()
+    out = (
+        d.select(
+            "url",
+            F.shiftrightunsigned(mid, 33).cast("int").alias("pid"),
+            mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("row_in_part"),
+        )
+        .join(F.broadcast(offsets_df), "pid")
+        .select("url", (F.col("offset") + F.col("row_in_part")).alias("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()  # pin the id assignment before releasing the sorted layout
+    d.unpersist()
+    return out
 
 
 def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -86,6 +128,8 @@ class LinkGraph:
     def unpersist(self) -> None:
         self.edges.unpersist()
         self.vertices.unpersist()
+        if self.url_dict is not None:
+            self.url_dict.unpersist()  # no-op if not cached
 
 
 def build_graph(

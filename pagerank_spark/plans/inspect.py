@@ -27,6 +27,18 @@ def count_exchanges(df: DataFrame) -> int:
                or "Exchange rangepartitioning" in line)
 
 
+def python_nodes(df: DataFrame) -> list[str]:
+    """Plan lines that route rows through per-row Python (PythonRDD /
+    SerializeFromObject / row-at-a-time BatchEvalPython). Vectorized Arrow
+    nodes (ArrowEvalPython, MapInPandas, FlatMapGroupsInPandas) are NOT
+    flagged — the input_hint allows pandas/Arrow UDFs, it bans per-row
+    Python."""
+    plan = simple_plan(df)
+    bad = ("PythonRDD", "SerializeFromObject", "DeserializeToObject",
+           "BatchEvalPython")
+    return [l.strip() for l in plan.splitlines() if any(b in l for b in bad)]
+
+
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section of a formatted plan ('' if none)."""
     plan = physical_plan(df)

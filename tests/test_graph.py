@@ -94,3 +94,22 @@ def test_salted_aggregation_equals_unsalted(spark):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_url_dictionary_sorted_dense_and_jvm_only(spark):
+    """Ids are the global sorted-url positions (dense 0..n-1), and the plan
+    contains no per-row Python node (PythonRDD/SerializeFromObject): the id
+    dictionary is the one ingestion stage that used to route every url
+    through a Python RDD; it must stay JVM-side at 10^12 urls."""
+    from pagerank_spark.operators.graph import url_id_dictionary
+    from pagerank_spark.plans.inspect import python_nodes
+
+    urls = spark.createDataFrame(
+        [(f"https://site{i % 97}.example/p{i}",) for i in range(1000)],
+        "url string")
+    d = url_id_dictionary(urls, partitions=7)
+    rows = d.collect()
+    want = {u: i for i, u in enumerate(sorted({r.url for r in urls.collect()}))}
+    assert {r.url: r.id for r in rows} == want
+    assert python_nodes(d) == []
+    d.unpersist()
