@@ -1,16 +1,20 @@
 """Triangle counting on the undirected simple graph induced by the edge table.
 
 Absent from the reference (SURVEY.md §2.9); mandated by the north rule.
-Formulation: orient every edge low->high id after dedupe/self-loop removal,
-then triangles are paths a->b->c (a<b<c) closed by edge (a,c):
+Formulation: orient every edge along a TOTAL order on vertices, then each
+triangle appears exactly once as a path a->b->c closed by the oriented edge
+(a,c):
 
     tri = E ⋈_{b} E ⋈_{(a,c)} E
 
-Two shuffle joins over the oriented edge set. At web scale the standard
-refinement is degree-ordering (orient toward the higher-degree endpoint) so
-the join fan-out per vertex is bounded by sqrt(m); we orient by id here and
-rely on AQE skew-join splitting, with degree-ordering available via the
-``order_by_degree`` flag.
+Two shuffle joins over the oriented edge set. The order is Schank-Wagner
+degree ordering by default — orient from lower (degree, id) to higher — so
+every vertex's oriented out-neighborhood is O(sqrt(m)) and the wedge
+fan-out stays bounded on a power-law graph; id-ordering would make the
+highest-degree head vertex generate O(d_max^2) wedges, precisely the skew
+the reference's binned kernels exist to avoid
+(/root/reference/kernel_bblock.cu:622-692). AQE skew-join splitting stays
+on as the runtime backstop.
 """
 
 from __future__ import annotations
@@ -42,38 +46,35 @@ def _oriented(edges: DataFrame, order_by_degree: bool) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, order_by_degree: bool = True) -> int:
-    """Total number of triangles."""
+def enumerate_triangles(edges: DataFrame, order_by_degree: bool = True) -> DataFrame:
+    """(x, y, z) — one row per triangle, enumerated exactly once.
+
+    The orientation (degree order or id order) is a total order, so for a
+    path x->y->z the closing edge is necessarily oriented (x,z): no
+    symmetric closing-edge union is needed, and each triangle surfaces at
+    exactly its minimal-order corner."""
     e = _oriented(edges, order_by_degree).localCheckpoint(eager=True)
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("y"),
-                F.col("e1.b").alias("via"))
-    )
-    closed = wedges.join(
-        e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
-            e.select(F.col("b").alias("x"), F.col("a").alias("y"))
-        ),
-        ["x", "y"],
-    )
-    return closed.count()
-
-
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """(id, triangles) — number of triangles each vertex participates in.
-
-    Uses id-orientation (a<b<c) so each triangle is enumerated exactly once,
-    then fans out to its three corners.
-    """
-    e = _oriented(edges, order_by_degree=False).localCheckpoint(eager=True)
-    tri = (
+    return (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
         .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
                 F.col("e2.b").alias("z"))
         .join(e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"])
     )
+
+
+def triangle_count(edges: DataFrame, order_by_degree: bool = True) -> int:
+    """Total number of triangles."""
+    return enumerate_triangles(edges, order_by_degree).count()
+
+
+def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = True) -> DataFrame:
+    """(id, triangles) — number of triangles each vertex participates in.
+
+    Triangles are enumerated once under the (degree-ordered) orientation,
+    then fanned out to their three corners; the per-corner labels are the
+    original vertex ids, so the result is orientation-independent."""
+    tri = enumerate_triangles(edges, order_by_degree)
     corners = (
         tri.select(F.col("x").alias("id"))
         .unionAll(tri.select(F.col("y").alias("id")))

@@ -83,3 +83,32 @@ def test_triangles_random(spark, n, m, tag):
     per_v = triangles_per_vertex(df)
     total3 = sum(r.triangles for r in per_v.collect())
     assert total3 == 3 * want
+
+
+def test_degree_orientation_bounds_hub_fanout(spark):
+    """Power-law skew discipline: a star hub of degree 400 (plus a few
+    triangles through it) must generate ZERO wedges under degree
+    orientation — every hub edge points INTO the hub, so the O(d_hub^2)
+    wedge blow-up of id-orientation cannot happen. Results stay equal."""
+    from pagerank_spark.operators.triangles import _oriented
+
+    hub = 0  # lowest id = worst case for id-orientation
+    edges = [(hub, i) for i in range(1, 401)]
+    edges += [(1, 2), (3, 4), (5, 6)]  # triangles through the hub
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    fan = {r.a: r["count"] for r in
+           _oriented(df, order_by_degree=True).groupBy("a").count().collect()}
+    assert hub not in fan, f"hub still has oriented out-edges: {fan.get(hub)}"
+    assert max(fan.values()) <= 2
+
+    fan_id = {r.a: r["count"] for r in
+              _oriented(df, order_by_degree=False).groupBy("a").count().collect()}
+    assert fan_id[hub] == 400  # what we would have suffered
+
+    assert triangle_count(df) == triangle_count(df, order_by_degree=False) == 3
+    per_v = {r.id: r.triangles for r in triangles_per_vertex(df).collect()}
+    assert per_v[hub] == 3 and per_v[1] == 1
+    per_v_id = {r.id: r.triangles
+                for r in triangles_per_vertex(df, order_by_degree=False).collect()}
+    assert per_v == per_v_id
