@@ -145,15 +145,31 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.round(F.col("rank") * F.lit(n), 6).alias("rank_n"))
 
 
-def _pagerank_oracle_sql(iters: int, p_sql: str | None = None) -> str:
+def _pagerank_oracle_sql(iters: int, p_sql: str | None = None,
+                         weighted: bool = False) -> str:
     """Unrolled power iteration, Σ=1 internal / Σ=n output, exactly the
     semantics of operators/pagerank.py (mass -> remain -> contrib -> axpy).
     ``p_sql``: per-vertex teleport expression over column ``id`` (Σ must be
-    1); None = uniform 1/n."""
+    1); None = uniform 1/n. ``weighted``: transition weights |w|/rowsum
+    from an explicit l_quantity edge weight (the P9 lightSpMV path,
+    PageRank.h:256-274) instead of 1/out_degree; l_quantity sums are
+    integer-valued doubles, so both engines accumulate them exactly."""
+    if weighted:
+        we_parts = [
+            f"ew AS (SELECT l_partkey % {MOD} AS src, l_orderkey % {MOD} AS dst, "
+            f"CAST(l_quantity AS DOUBLE) AS w FROM lineitem)",
+            "ws AS (SELECT src, sum(abs(w)) AS s FROM ew GROUP BY src)",
+            "we AS (SELECT ew.src, ew.dst, abs(ew.w) / ws.s AS w "
+            "FROM ew JOIN ws ON ws.src = ew.src)",
+        ]
+    else:
+        we_parts = [
+            "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        ]
     parts = [
         _E_SQL, _U_SQL, _OD_SQL,
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
-        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        *we_parts,
         "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
         "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",
     ]
@@ -192,6 +208,24 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = (g.vertices.filter(F.col("id") < PPR_SEEDS)
           .select("id", F.lit(1.0 / PPR_SEEDS).alias("p")))
     res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS, teleport=tp)
+    return res.ranks.select(
+        "id", F.round(F.col("rank") * F.lit(float(g.n_vertices)), 6).alias("rank_n"))
+
+
+def q_pagerank_weighted_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 explicit-weight path (lightSpMV PageRank.h:256-274): edges carry
+    w = l_quantity; transition weights are |w|/row-sum instead of
+    1/out_degree. Feeds the same power-iteration loop; oracle-checked via
+    the weighted unrolled CTE."""
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+    wedges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % MOD).alias("src"),
+        (F.col("l_orderkey") % MOD).alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    g = build_graph(spark, wedges)
+    res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS)
     return res.ranks.select(
         "id", F.round(F.col("rank") * F.lit(float(g.n_vertices)), 6).alias("rank_n"))
 
@@ -852,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dangling": q_graph_dangling,
         "graph_degree_bins": q_graph_degree_bins,
         "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
@@ -886,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_dangling": SQL_GRAPH_DANGLING,
         "graph_degree_bins": SQL_GRAPH_DEGREE_BINS,
         "pagerank_3iter": _pagerank_oracle_sql(PR_ITERS),
+        "pagerank_weighted_3iter": _pagerank_oracle_sql(PR_ITERS, weighted=True),
         "pagerank_personalized": _pagerank_oracle_sql(
             PR_ITERS,
             p_sql=f"(CASE WHEN u.id < {PPR_SEEDS} THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END)"),

@@ -243,6 +243,7 @@ def pagerank(
         else:
             remain_expr = F.lit(alpha * mass / n + (1.0 - alpha) / n)
 
+        phase_ms: dict[str, float] = {}
         contribs = _contributions(edges, state.select("id", "rank"), use_salt,
                                   strategy=strategy)
         # left join against the full vertex universe (carried by `state`):
@@ -261,6 +262,12 @@ def pagerank(
             )
         )
         new_state = ckpt.save(it, new_state)
+        # the reference times its phases separately (dangling/pull/g1/g2,
+        # kernel_bblock.cu:1087-1092). The Spark analogue of pull+g1+g2 is
+        # ONE fused job (gather join + contribution agg + axpy + checkpoint
+        # write) — timed as `materialize`; the dangling mass + L1/L2 scan
+        # is the second job — `stats`; per-bin telemetry, when on, a third.
+        phase_ms["materialize"] = timer.lap_ms()
 
         # fused A4 (L1) + A5 (L2) + A3 (next dangling mass) + conservation
         stats = new_state.agg(
@@ -271,6 +278,7 @@ def pagerank(
         ).first()
         l1 = float(stats["l1"])
         l2 = float(stats["l2"])
+        phase_ms["stats"] = timer.lap_ms()
         extra: dict[str, Any] = {}
         if bins is not None:
             # A6 telemetry (for_test.h:51-85): per-bin mean |Δ| + count over
@@ -284,11 +292,15 @@ def pagerank(
                     F.count(F.when(diff > 1e-5, 1)).alias("unconv"),
                 ).collect()
             }
+            phase_ms["telemetry"] = timer.lap_ms()
+        phase_ms = {k: round(v, 3) for k, v in phase_ms.items()}
         ckpt.record(
             it, new_state,
             l1_diff=l1, l2_diff=l2, dangling_mass=mass,
             rank_sum=float(stats["mass_sum"]),
-            edges_processed=graph.n_edges, wall_ms=timer.lap_ms(), **extra,
+            edges_processed=graph.n_edges,
+            wall_ms=round(sum(phase_ms.values()), 3), phase_ms=phase_ms,
+            **extra,
         )
         if dangling_redistribution:
             mass = float(stats["next_mass"] or 0.0)

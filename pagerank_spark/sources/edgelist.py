@@ -45,16 +45,22 @@ def read_edge_list(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     return edges, n
 
 
-def read_matrix_market(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
-    """Matrix Market coordinate format -> (edges(src,dst) 0-indexed, n).
+def read_matrix_market(spark: SparkSession, path: str,
+                       values: bool = False) -> tuple[DataFrame, int]:
+    """Matrix Market coordinate format -> (edges 0-indexed, n).
 
     Comment lines start with ``%``; the first non-comment line is the size
     header ``rows cols nnz`` (skipped by position, matching
-    cusp::io::read_matrix_market_file semantics for pattern matrices;
-    explicit values in a third column are ignored — the engine derives
-    transition weights from out-degree, kernel_bblock.cu:613). A
-    ``symmetric`` banner expands each off-diagonal entry to both
-    directions, as cusp does.
+    cusp::io::read_matrix_market_file semantics). A ``symmetric`` banner
+    expands each off-diagonal entry to both directions, as cusp does.
+
+    ``values=True`` parses the explicit third column as edge weight ``w``
+    (entries without one get NULL, which ``build_graph`` drops) — feeding
+    the P9 row-sum normalization path
+    (/root/reference/lightSpMV/PageRank.h:256-274: fabs + rowSum divide),
+    so a weighted ``.mtx`` keeps its weights instead of silently degrading
+    to 1/out_degree. Default ``False`` = pattern semantics (the four main
+    reference binaries, kernel_bblock.cu:613 derives w from out-degree).
     """
     lines = _lines_with_index(spark, path).filter(F.trim("line") != "").persist()
     banner = lines.filter(F.col("idx") == 0).first()
@@ -64,15 +70,18 @@ def read_matrix_market(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     header = data.filter(F.col("idx") == header_idx).first()["line"]
     n = int(header.split()[0])
     toks = F.split(F.trim("line"), r"\s+")
-    edges = data.filter(F.col("idx") > header_idx).select(
+    cols = [
         (toks.getItem(0).cast("long") - 1).alias("src"),
         (toks.getItem(1).cast("long") - 1).alias("dst"),
-    )
+    ]
+    if values:
+        cols.append(toks.getItem(2).cast("double").alias("w"))
+    edges = data.filter(F.col("idx") > header_idx).select(*cols)
     if symmetric:
-        edges = edges.unionAll(
-            edges.filter(F.col("src") != F.col("dst"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        back = edges.filter(F.col("src") != F.col("dst"))
+        edges = edges.unionAll(back.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *([F.col("w")] if values else [])))
     return edges, n
 
 

@@ -110,9 +110,13 @@ def test_checkpoint_resume_identical(spark, tmp_path, g6):
     np.testing.assert_allclose(
         _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15
     )
-    # metrics carry per-partition lineage
+    # metrics carry per-partition lineage and the per-phase timing split
+    # (S5, the reference's dangling/pull/g1/g2 timers kernel_bblock.cu:1087)
     rows = ck2.load_metrics()
     assert rows and all("partition_rows" in m for m in rows)
+    for m in rows:
+        assert {"materialize", "stats"} <= set(m["phase_ms"]), m
+        assert abs(sum(m["phase_ms"].values()) - m["wall_ms"]) < 0.01
 
 
 def test_fresh_run_clears_stale_checkpoints(spark, tmp_path, g6):

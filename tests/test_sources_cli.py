@@ -98,3 +98,51 @@ def test_cli_fixed_budget_and_parquet_output(spark, tmp_path, g6_file):
     assert rc == 0
     got = {r.id: r.rank for r in spark.read.parquet(str(out)).collect()}
     assert len(got) == 6 and abs(sum(got.values()) - 6.0) < 1e-9
+
+
+def test_read_matrix_market_explicit_weights_feed_p9(spark, tmp_path):
+    """values=True parses the third column as edge weight and build_graph
+    row-sum-normalizes it (P9, lightSpMV PageRank.h:256-274) — a weighted
+    .mtx no longer silently degrades to 1/out_degree. Checked against a
+    direct NumPy power iteration on the weighted transition matrix."""
+    import numpy as np
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+
+    p = tmp_path / "w.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 4\n"
+        "1 2 3.0\n"
+        "1 3 1.0\n"
+        "2 3 2.0\n"
+        "3 1 5.0\n")
+    edges, n = read_matrix_market(spark, str(p), values=True)
+    got_w = {(r.src, r.dst): r.w for r in edges.collect()}
+    assert got_w == {(0, 1): 3.0, (0, 2): 1.0, (1, 2): 2.0, (2, 0): 5.0}
+
+    g = build_graph(spark, edges, n_vertices=n)
+    w = {(r.src, r.dst): r.w for r in g.edges.collect()}
+    assert abs(w[(0, 1)] - 0.75) < 1e-15 and abs(w[(0, 2)] - 0.25) < 1e-15
+    assert w[(1, 2)] == 1.0 and w[(2, 0)] == 1.0
+
+    res = pagerank(g, alpha=0.85, tol=1e-12, max_iter=200)
+    got = np.zeros(3)
+    for r in res.ranks.collect():
+        got[r.id] = r.rank
+    P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
+    r = np.full(3, 1 / 3)
+    for _ in range(200):
+        r = 0.85 * (P.T @ r) + 0.15 / 3
+    np.testing.assert_allclose(got, r, atol=1e-9)
+
+
+def test_read_matrix_market_symmetric_keeps_weights(spark, tmp_path):
+    p = tmp_path / "sym.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "2 2 1\n"
+        "1 2 4.5\n")
+    edges, n = read_matrix_market(spark, str(p), values=True)
+    got = {(r.src, r.dst): r.w for r in edges.collect()}
+    assert got == {(0, 1): 4.5, (1, 0): 4.5}
