@@ -27,7 +27,6 @@ import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 class SuperstepCheckpointer:
     def __init__(self, spark: SparkSession, directory: str | None = None,
@@ -84,20 +83,37 @@ class SuperstepCheckpointer:
 
     def record(self, iteration: int, ranks: DataFrame, **metric: Any) -> dict[str, Any]:
         """Append one metrics row (the telemetry sink S4 of the reference,
-        /root/reference/for_test.h:51-85, re-expressed as a metrics table)."""
+        /root/reference/for_test.h:51-85, re-expressed as a metrics table).
+
+        Partition lineage comes from the just-committed parquet files'
+        FOOTERS (driver-side metadata reads, O(partitions)), not from a
+        second full scan-aggregate job over the data — the write itself is
+        the source of truth for what each partition holds."""
         row: dict[str, Any] = {"iteration": iteration, **metric}
         if self.track_partition_lineage:
-            pid_rows = (
-                ranks.groupBy(F.spark_partition_id().alias("pid"))
-                .count().orderBy("pid").collect()
-            )
-            row["n_partitions"] = len(pid_rows)
-            row["partition_rows"] = json.dumps({int(r.pid): int(r["count"]) for r in pid_rows})
+            row.update(self._partition_lineage(iteration))
         self.metrics.append(row)
         if self.dir:
             with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(row) + "\n")
         return row
+
+    def _partition_lineage(self, iteration: int) -> dict[str, Any]:
+        """{n_partitions, partition_rows} from the committed part files.
+
+        Part file names carry the writer task's partition index
+        (``part-00007-...``); row counts come from the parquet footer —
+        no executor work at all."""
+        import pyarrow.parquet as pq
+        path = self._iter_path(iteration)
+        counts: dict[int, int] = {}
+        for name in sorted(os.listdir(path)):
+            if not name.startswith("part-") or name.endswith(".crc"):
+                continue
+            pid = int(name.split("-")[1])
+            counts[pid] = pq.read_metadata(os.path.join(path, name)).num_rows
+        return {"n_partitions": len(counts),
+                "partition_rows": json.dumps(counts)}
 
     # -- resume -----------------------------------------------------------
 
