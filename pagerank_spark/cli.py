@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("max_iteration", nargs="?", type=int, default=40)
     p.add_argument("--format", choices=["edgelist", "mm", "parquet", "pages"],
                    default="edgelist")
+    p.add_argument("--mm-values", action="store_true",
+                   help="parse the Matrix Market third column as edge "
+                        "weights (P9 row-sum normalization, "
+                        "lightSpMV/PageRank.h:256-274) instead of pattern "
+                        "semantics")
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--tol", type=float, default=1e-6,
                    help="total-L1 early exit; <=0 runs the fixed budget "
@@ -62,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         edges, n = read_edge_list(spark, args.input)
         graph = build_graph(spark, edges, n_vertices=n)
     elif args.format == "mm":
-        edges, n = read_matrix_market(spark, args.input)
+        edges, n = read_matrix_market(spark, args.input, values=args.mm_values)
         graph = build_graph(spark, edges, n_vertices=n)
     elif args.format == "parquet":
         graph = build_graph(spark, spark.read.parquet(args.input))

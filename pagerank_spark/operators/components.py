@@ -13,16 +13,17 @@ propagation, no driver-side state beyond a convergence scalar.
               m = min(N(u)); emit (u, m) and (v, m) for v ∈ N(u), v ≠ m
 
 Convergence: the edge multiset stops changing. We detect it with
-(count, sum of xxhash64(src,dst)) — two scalars per round; a false stop
-needs a 64-bit hash-sum collision on same-count sets (~2^-64, documented
-trade against a full exceptAll anti-join per round).
+(count, sum of xxhash64(src,dst)) collected as OBSERVED metrics on each
+round's own materialization — zero extra jobs; a false stop needs a 64-bit
+hash-sum collision on same-count sets (~2^-64, documented trade against a
+full exceptAll anti-join per round).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -74,13 +75,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.distinct()
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
+def _sig_metrics() -> list:
     # decimal(38,0) sum: no overflow under ANSI mode at any realistic edge count
-    row = edges.agg(
+    return [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-    ).first()
-    return int(row["n"]), int(row["h"] or 0)
+    ]
+
+
+def _observed_checkpoint(edges: DataFrame, name: str) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize a round's edge set AND collect its convergence signature
+    in the same Spark job (observed metrics on the localCheckpoint) — one
+    job per round, not a round job plus a signature scan."""
+    obs = Observation(name)
+    out = edges.observe(obs, *_sig_metrics()).localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["n"]), int(got["h"] or 0))
 
 
 def connected_components(
@@ -93,13 +103,12 @@ def connected_components(
     ``universe``: optional (id) DataFrame of all vertices — isolated ones
     get their own id as label, matching the union-find oracle exactly.
     """
-    cur = _canonical(edges).localCheckpoint(eager=True)
-    sig = _signature(cur)
+    cur, sig = _observed_checkpoint(_canonical(edges), "cc_init")
     rounds = 0
     converged = False
     for rounds in range(1, max_rounds + 1):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        nsig = _signature(nxt)
+        nxt, nsig = _observed_checkpoint(
+            _small_star(_large_star(cur)), f"cc_round_{rounds}")
         cur.unpersist()  # drop the previous round's checkpoint blocks
         cur = nxt
         if nsig == sig:

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -63,22 +63,24 @@ def label_propagation(
         best = counts.groupBy("id").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("s")
         ).select("id", (-F.col("s.nl")).alias("new_label"))
+        # the fixpoint check rides the round's materialization as an
+        # observed metric (count of vertices whose label moved) — one Spark
+        # job per round, not a round job plus a compare-join job
+        obs = Observation(f"lp_changed_{rounds}")
         new_labels = (
             labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            .select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label"),
+                (F.col("new_label") != F.col("label")).cast("int").alias("chg"))
+            .observe(obs, F.sum("chg").alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         if rounds > 1:
             labels.unpersist()  # drop the previous round's checkpoint blocks
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    return LabelPropResult(labels=labels, rounds=rounds, converged=converged)
+    return LabelPropResult(labels=labels.select("id", "label"), rounds=rounds,
+                           converged=converged)

@@ -146,3 +146,27 @@ def test_read_matrix_market_symmetric_keeps_weights(spark, tmp_path):
     edges, n = read_matrix_market(spark, str(p), values=True)
     got = {(r.src, r.dst): r.w for r in edges.collect()}
     assert got == {(0, 1): 4.5, (1, 0): 4.5}
+
+
+def test_cli_mm_values_weighted_run(spark, tmp_path):
+    """--format mm --mm-values drives the weighted P9 path end to end."""
+    from pagerank_spark.cli import main
+    mtx = tmp_path / "w.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 4\n"
+        "1 2 3.0\n"
+        "1 3 1.0\n"
+        "2 3 2.0\n"
+        "3 1 5.0\n")
+    out = tmp_path / "cli_w"
+    rc = main([str(mtx), str(out), "200", "--format", "mm", "--mm-values",
+               "--tol", "1e-12"])
+    assert rc == 0
+    part = next(out.glob("part-*"))
+    vals = np.array([float(x) for x in part.read_text().strip().splitlines()])
+    P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
+    r = np.full(3, 1 / 3)
+    for _ in range(200):
+        r = 0.85 * (P.T @ r) + 0.15 / 3
+    np.testing.assert_allclose(vals / 3.0, r, atol=1e-6)
