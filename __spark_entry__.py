@@ -814,6 +814,72 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 6, 5
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministically seeded codebook (smallest
+    shared-hash ids), one Lloyd refinement, nprobe-cell probing (oracle:
+    the identical train/assign/probe/score pipeline unrolled in SQL)."""
+    from pagerank_spark.operators.similarity import ann_topk_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_ivf(emb, queries, k=_IVF_K, n_cells=_IVF_CELLS,
+                        nprobe=_IVF_NPROBE, lloyd_iters=1
+                        ).select("query_id", "neighbor_id", "rank")
+
+
+def _ann_ivf_oracle_sql(dim: int = 64) -> str:
+    """The IVF pipeline in DuckDB SQL: seed cells = the n_cells vectors of
+    smallest shared-hash(id); one Lloyd round (nearest-centroid assign +
+    element-wise mean per cell); corpus assigned to 1 cell, queries probe
+    nprobe cells; cosine + row_number over the candidate cells. Cosine
+    values only ORDER the output (ids+rank are compared), so fp summation
+    differences between engines would need two cosines within ~1e-15 to
+    matter."""
+    h60 = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+seed_order AS (SELECT vec_id, v FROM e ORDER BY {h60}, vec_id LIMIT {_IVF_CELLS}),
+seeds AS (SELECT row_number() OVER (ORDER BY {h60}, vec_id) - 1 AS cell, v
+          FROM seed_order),
+a0 AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, s.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.cell ASC) AS rn
+         FROM e, seeds s) WHERE rn = 1),
+means AS (SELECT a0.cell, g.i AS pos, avg(e.v[g.i]) AS m
+          FROM a0 JOIN e USING (vec_id), generate_series(1, {dim}) g(i)
+          GROUP BY 1, 2),
+c1 AS (SELECT s.cell, coalesce(mm.vec, s.v) AS v
+       FROM seeds s LEFT JOIN
+            (SELECT cell, list(m ORDER BY pos) AS vec FROM means GROUP BY cell) mm
+            ON mm.cell = s.cell),
+ca AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, c.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell ASC) AS rn
+         FROM e, c1 c) WHERE rn = 1),
+qa AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, c.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell ASC) AS rn
+         FROM e, c1 c WHERE e.vec_id < 8) WHERE rn <= {_IVF_NPROBE}),
+cand AS (SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+         FROM qa JOIN ca ON ca.cell = qa.cell
+         WHERE ca.vec_id <> qa.vec_id),
+s AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cos
+      FROM cand c JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= {_IVF_K}
+"""
+
+
 def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: drain the events parquet as a file-source
     stream through the watermarked tumbling-window rollup into a memory
@@ -909,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "multimodal_features": q_multimodal_features,
     }
@@ -944,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "similarity_topk_cosine": SQL_SIMILARITY_TOPK,
         "similarity_ann_lsh": _ann_lsh_oracle_sql(),
+        "similarity_ann_ivf": _ann_ivf_oracle_sql(),
         # the streaming path aggregates through exact DECIMAL(18,6), so the
         # batch rollup SQL is its oracle too (same groups, same sums)
         "streaming_hourly_rollup": SQL_EVENTS_HOURLY,

@@ -109,6 +109,11 @@ def main() -> None:
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",
           lambda: noop(cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+    from pagerank_spark.operators.similarity import ann_topk_ivf, ann_topk_lsh
+    timed("similarity_ann_lsh",
+          lambda: noop(ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+    timed("similarity_ann_ivf",
+          lambda: noop(ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

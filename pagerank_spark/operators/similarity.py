@@ -7,6 +7,11 @@
   seeded planes, multiple tables), equi-join query buckets to corpus
   buckets, score only within buckets, then top-k. Sub-linear candidates at
   the cost of recall; recall is measured against brute force in tests.
+* ``ann_topk_ivf`` — the other scale path: an inverted-file index.
+  Deterministically seeded + Lloyd-refined codebook partitions the corpus
+  into Voronoi cells; queries probe their ``nprobe`` nearest cells. IVF
+  adapts cells to the data distribution (better on clustered corpora);
+  LSH needs no training pass. Both share the bucket-equi-join shape.
 
 At 100 TB the corpus side stays partitioned; only query vectors and the
 plane matrix move (broadcast). No Python executes per row — the dot
@@ -90,6 +95,101 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nprobe: int = 1) -> DataFrame:
+    """(id, cell) — index of the cosine-nearest centroid(s) per vector.
+
+    ``nprobe > 1`` emits that many nearest cells per vector (query-side
+    probing). One Arrow-batched matmul against the broadcast centroid
+    matrix; ties break to the lowest cell index (np.argsort stable)."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ C.T                                   # (batch, n_cells)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.explode(_cells(F.col(vec_col).cast("array<double>")))
+                .alias("cell"))
+    )
+
+
+def ivf_train_centroids(corpus: DataFrame, n_cells: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        lloyd_iters: int = 1) -> np.ndarray:
+    """Deterministic IVF codebook: seed cells with the ``n_cells`` corpus
+    vectors of smallest xxhash64(id) (a seeded pseudo-random sample, no
+    RNG state), then ``lloyd_iters`` rounds of Lloyd refinement — assign
+    every vector to its nearest centroid (one matmul pass) and average
+    element-wise per cell (posexplode + groupBy, all JVM; only the
+    n_cells x dim codebook ever reaches the driver)."""
+    from pagerank_spark.operators.dedup import shared_hash60
+    seeds = (corpus.filter(F.col(vec_col).isNotNull())
+             .orderBy(shared_hash60(F.col(id_col)), F.col(id_col))
+             .select(F.col(vec_col).cast("array<double>").alias("v"))
+             .limit(n_cells).collect())
+    C = np.stack([np.asarray(r.v, dtype=np.float64) for r in seeds])
+    for _ in range(lloyd_iters):
+        assign = ivf_assignments(corpus, C, id_col, vec_col, nprobe=1)
+        means = (
+            assign.join(corpus.select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).cast("array<double>").alias("v")),
+                        "id")
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nc = C.copy()  # cells that lost every member keep their centroid
+        for r in means:
+            nc[r.cell, r.pos] = r.m
+        C = nc
+    return C
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, nprobe: int = 4,
+                 lloyd_iters: int = 1,
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: same output schema as
+    cosine_topk. The corpus is partitioned into ``n_cells`` Voronoi cells
+    by a deterministic trained codebook; each query probes its ``nprobe``
+    nearest cells and scores only vectors in them. Complements
+    ``ann_topk_lsh``: IVF adapts its cells to the data distribution
+    (better for clustered corpora), LSH is data-independent (no training
+    pass). At scale the cell assignment table is a bucketed join column —
+    the corpus side never re-shuffles between queries."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_cells, id_col, vec_col,
+                                        lloyd_iters)
+    ca = ivf_assignments(corpus, centroids, id_col, vec_col, nprobe=1)
+    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cands = (
+        qa.alias("q").join(ca.alias("c"), "cell")
+        .filter(F.col("c.id") != F.col("q.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

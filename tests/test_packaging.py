@@ -1,0 +1,57 @@
+"""The north-rule shipping story: the engine runs under spark-submit with
+the package delivered via --py-files (no repo on the executors' path)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """Zip pagerank_spark, spark-submit the CLI on the G6 edge list from a
+    cwd OUTSIDE the repo, check the 6-decimal rank file against the
+    Langville-Meyer golden vector."""
+    from pagerank_spark.sources import synth
+
+    zpath = tmp_path / "pagerank_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "pagerank_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    g6 = tmp_path / "g6.txt"
+    lines = [f"6 {len(synth.G6_EDGES)}"]
+    lines += [f"{s + 1} {d + 1}" for s, d in synth.G6_EDGES]
+    g6.write_text("\n".join(lines) + "\n")
+
+    runner = tmp_path / "run_cli.py"
+    runner.write_text(
+        "import sys\nfrom pagerank_spark.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n")
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+    out = tmp_path / "ranks_out"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "2"
+    env["SPARK_DRIVER_MEM"] = "2g"
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", str(zpath),
+         str(runner), str(g6), str(out), "300",
+         "--alpha", "0.9", "--tol", "1e-10"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    part = next(out.glob("part-*"))
+    vals = [float(x) for x in part.read_text().strip().splitlines()]
+    np.testing.assert_allclose(
+        np.array(vals) / 6.0, synth.G6_RANKS_A09, atol=1e-3)

@@ -93,3 +93,35 @@ def test_buckets_high_dim_plan_size_independent(spark):
     want = signs.reshape(n, 6, 12) @ (1 << np.arange(12, dtype=np.int64))
     for r in got:
         assert r.bucket == int(want[r.id, r.table]), (r.id, r.table)
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    from pagerank_spark.operators.similarity import ann_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # candidate set is genuinely sub-linear: probing 6/16 cells must not
+    # degenerate to scoring the whole corpus for every query
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in
+             ann_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=6).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.rank) for r in approx}
+
+
+def test_ivf_cells_partition_corpus(spark, emb):
+    from pagerank_spark.operators.similarity import (ivf_assignments,
+                                                     ivf_train_centroids)
+    C = ivf_train_centroids(emb, n_cells=8)
+    assert C.shape == (8, 64)
+    cells = ivf_assignments(emb, C, nprobe=1).collect()
+    n = emb.count()
+    assert len(cells) == n                       # exactly one cell per vector
+    assert all(0 <= r.cell < 8 for r in cells)
+    sizes = {}
+    for r in cells:
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+    assert max(sizes.values()) < n               # not all in one cell
