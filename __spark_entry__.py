@@ -332,6 +332,106 @@ SELECT id, count(*) AS triangles FROM corners GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# HITS / BFS / k-core (round-2 centrality & structure additions, §2.9)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3      # unrolled hub/authority iterations in the oracle
+BFS_SOURCE = 1      # vertex 0 has no out-edges in the derived graph
+BFS_MAX_HOPS = 8    # >= diameter of the derived graph at every test SF
+KCORE_K = 44        # peels 5 rounds to a non-empty core at sf0.01
+KCORE_ORACLE_ROUNDS = 10  # > fixpoint rounds; extra peels are no-ops
+
+
+def q_hits_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority scores after 3 L1-normalized iterations, scaled by n."""
+    from pagerank_spark.operators.hits import hits
+    g = _graph(spark, sf_dir)
+    res = hits(_edges(spark, sf_dir), universe=g.vertices.select("id"),
+               iterations=HITS_ITERS)
+    n = float(g.n_vertices)
+    return res.scores.select(
+        "id",
+        F.round(F.col("hub") * n, 6).alias("hub_n"),
+        F.round(F.col("authority") * n, 6).alias("auth_n"),
+    )
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled HITS: per iteration an edge-gather each way + L1 normalize."""
+    parts = [_E_SQL, _U_SQL,
+             "nn AS (SELECT count(*) AS n FROM u)",
+             "h0 AS (SELECT id, 1.0 AS hub FROM u)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"a{k} AS (SELECT e.dst AS id, sum(h.hub) AS v FROM e "
+            f"JOIN h{p} h ON h.id = e.src GROUP BY e.dst)")
+        parts.append(f"at{k} AS (SELECT sum(v) AS s FROM a{k})")
+        parts.append(
+            f"an{k} AS (SELECT id, v / s AS authority FROM a{k}, at{k})")
+        parts.append(
+            f"hh{k} AS (SELECT e.src AS id, sum(an.authority) AS v FROM e "
+            f"JOIN an{k} an ON an.id = e.dst GROUP BY e.src)")
+        parts.append(f"ht{k} AS (SELECT sum(v) AS s FROM hh{k})")
+        parts.append(f"h{k} AS (SELECT id, v / s AS hub FROM hh{k}, ht{k})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT u.id,
+       round(coalesce(h.hub, 0) * nn.n, 6) AS hub_n,
+       round(coalesce(an.authority, 0) * nn.n, 6) AS auth_n
+FROM u LEFT JOIN h{iters} h ON h.id = u.id
+       LEFT JOIN an{iters} an ON an.id = u.id, nn
+""")
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed hop distance from vertex BFS_SOURCE (reachable set only)."""
+    from pagerank_spark.operators.bfs import bfs_hops
+    res = bfs_hops(_edges(spark, sf_dir), [BFS_SOURCE], max_hops=BFS_MAX_HOPS)
+    return res.distances.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE {_E_SQL},
+walk(id, d) AS (
+    SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+    UNION
+    SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.id
+    WHERE walk.d < {BFS_MAX_HOPS}
+)
+SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
+"""
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the k-core (k=KCORE_K) with their in-core degree."""
+    from pagerank_spark.operators.kcore import k_core
+    res = k_core(_edges(spark, sf_dir), k=KCORE_K)
+    return res.vertices.select("id", "core_deg")
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling; rounds > fixpoint, extra rounds are identity.
+    Each round's survivor set is MATERIALIZED: every c{p} is referenced 3x
+    per round, and DuckDB's default CTE inlining would make the plan (and
+    its parquet scans) grow 3^rounds."""
+    parts = [_E_SQL, _S_SQL, "c0 AS MATERIALIZED (SELECT a, b FROM s)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS (SELECT id, count(*) AS deg FROM "
+            f"(SELECT a AS id FROM c{p} UNION ALL SELECT b FROM c{p}) t GROUP BY id)")
+        parts.append(f"k{r} AS (SELECT id FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT c.a, c.b FROM c{p} c "
+            f"JOIN k{r} x ON x.id = c.a JOIN k{r} y ON y.id = c.b)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT id, count(*) AS core_deg FROM
+(SELECT a AS id FROM c{rounds} UNION ALL SELECT b FROM c{rounds}) t
+GROUP BY id HAVING count(*) >= {k}
+""")
+
+
+# ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.4-2.5: joins, aggs, windows, sort/limit,
 # set ops, distinct aggregates) — DECIMAL-exact money sums
 # ---------------------------------------------------------------------------
@@ -960,6 +1060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "hits_3iter": q_hits_3iter,
+        "bfs_hops": q_bfs_hops,
+        "k_core_44": q_k_core,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
@@ -996,6 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+        "hits_3iter": _hits_oracle_sql(HITS_ITERS),
+        "bfs_hops": SQL_BFS_HOPS,
+        "k_core_44": _kcore_oracle_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,

@@ -1,0 +1,106 @@
+"""HITS (hubs & authorities): synchronous power iterations over the link graph.
+
+Absent from the reference (SURVEY.md §2.9 covers only PageRank-family
+centrality); added as the natural companion centrality for a link-graph
+engine — the same gather/scatter shape as the reference's SpMV hot loop
+(/root/reference/kernel_bblock.cu:337: per-dst gather of per-src state), run
+twice per iteration (once along edges, once against them).
+
+Semantics (deterministic, SQL-expressible so the DuckDB oracle can unroll
+it exactly):
+
+  hub_0(u) = 1 for every vertex
+  per iteration t:
+    auth_t(v)  = Σ_{(u,v) ∈ E} hub_{t-1}(u)   then L1-normalize (Σ auth = 1)
+    hub_t(u)   = Σ_{(u,v) ∈ E} auth_t(v)      then L1-normalize (Σ hub = 1)
+
+L1 (not the textbook L2) normalization is chosen deliberately: it keeps the
+fixed-iteration trajectory free of sqrt so both engines compute bit-nearly
+identical doubles (fp sum-order noise ~1e-15, twelve orders below the
+6-decimal comparison grid), and any p-norm yields the same ranking.
+Duplicate edges add weight, matching the engine's one-line-per-edge
+convention (/root/reference/kernel_bblock.cu:601-618).
+
+Scale shape: per iteration two join+aggregate passes over the O(E) edge
+table — the edge table is the build-time cached, src-partitioned DataFrame,
+so the hub gather reuses its layout; only O(V) score state moves. The L1
+total rides each aggregate as a broadcast 1-row join (no driver sync, no
+collect in the loop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame     # (id long, hub double, authority double)
+    iterations: int
+
+
+def _l1_normalized(scores: DataFrame, col: str) -> DataFrame:
+    """Divide ``col`` by its global L1 total via a broadcast 1-row join —
+    stays distributed; the total is O(1) data, never the score vector."""
+    total = scores.agg(F.sum(F.abs(col)).alias("_t"))
+    return (
+        scores.crossJoin(F.broadcast(total))
+        .select(*[c for c in scores.columns if c != col],
+                (F.col(col) / F.col("_t")).alias(col))
+    )
+
+
+def hits(
+    edges: DataFrame,
+    universe: DataFrame | None = None,
+    iterations: int = 3,
+) -> HitsResult:
+    """Hub/authority scores after ``iterations`` synchronous updates.
+
+    ``edges``: (src, dst) directed, duplicates meaningful.
+    ``universe``: optional (id) DataFrame — vertices absent from the edge
+    list get hub = authority = 0 after normalization of the first round
+    (they receive and emit nothing) but stay in the output.
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if universe is not None:
+        vertices = vertices.unionAll(universe.select("id")).distinct()
+    vertices = vertices.localCheckpoint(eager=True)
+
+    hub = vertices.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(1, iterations + 1):
+        # authority gather: along edge direction (per-dst sum of src hubs)
+        auth = (
+            edges.join(hub.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1_normalized(auth, "authority").localCheckpoint(eager=True)
+        # hub gather: against edge direction (per-src sum of dst authorities)
+        new_hub = (
+            edges.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        new_hub = _l1_normalized(new_hub, "hub").localCheckpoint(eager=True)
+        hub.unpersist()
+        hub = new_hub
+
+    scores = (
+        vertices.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+    return HitsResult(scores=scores, iterations=iterations)

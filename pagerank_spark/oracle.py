@@ -111,3 +111,58 @@ def label_prop_oracle(
             break
         labels = new
     return labels
+
+
+def hits_oracle(edges: list[tuple[int, int]], n: int,
+                iterations: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Dense HITS with L1 normalization per half-iteration (hub, authority)."""
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iterations):
+        auth = np.zeros(n, dtype=np.float64)
+        for s, d in edges:
+            auth[d] += hub[s]
+        t = np.abs(auth).sum()
+        if t > 0:
+            auth = auth / t
+        hub = np.zeros(n, dtype=np.float64)
+        for s, d in edges:
+            hub[s] += auth[d]
+        t = np.abs(hub).sum()
+        if t > 0:
+            hub = hub / t
+    return hub, auth
+
+
+def bfs_oracle(edges: list[tuple[int, int]], sources: list[int],
+               max_hops: int = 20) -> dict[int, int]:
+    """Directed min-hop distance from the source set (reachable only)."""
+    from collections import deque
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {int(s): 0 for s in sources}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Peel the undirected simple graph; returns {id: in-core degree}."""
+    simple = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in simple:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        doomed = {v for v, c in deg.items() if c < k}
+        if not doomed:
+            return deg
+        simple = {(a, b) for a, b in simple if a not in doomed and b not in doomed}

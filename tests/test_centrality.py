@@ -1,0 +1,99 @@
+"""HITS, BFS hop distance, and k-core vs exact Python/NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.functions.hashing import mix2
+from pagerank_spark.operators.bfs import bfs_hops
+from pagerank_spark.operators.hits import hits
+from pagerank_spark.operators.kcore import k_core
+from pagerank_spark.oracle import bfs_oracle, hits_oracle, kcore_oracle
+
+
+def _random_edges(n: int, m: int, seed_tag: int) -> list[tuple[int, int]]:
+    ids = np.arange(m, dtype=np.uint64)
+    src = mix2(ids, seed_tag) % np.uint64(n)
+    dst = mix2(ids, seed_tag ^ 0xBEEF) % np.uint64(n)
+    return [(int(s), int(d)) for s, d in zip(src, dst)]
+
+
+@pytest.mark.parametrize("n,m,tag", [(100, 400, 11), (60, 60, 12)])
+def test_hits_matches_numpy(spark, n, m, tag):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = hits(df, universe=spark.range(n), iterations=3)
+    got = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    hub, auth = hits_oracle(edges, n, iterations=3)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i][0] == pytest.approx(hub[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(auth[i], abs=1e-12)
+
+
+def test_hits_star_graph(spark):
+    """Hub/authority split: all edges point at the center, so the center is
+    the only authority and the leaves are all equal hubs."""
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = hits(df, iterations=2)
+    got = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    assert got[0][1] == pytest.approx(1.0)
+    assert got[0][0] == pytest.approx(0.0)
+    for i in range(1, 6):
+        assert got[i][0] == pytest.approx(0.2)
+        assert got[i][1] == pytest.approx(0.0)
+
+
+@pytest.mark.parametrize("n,m,tag,srcs", [(150, 300, 21, [0]),
+                                          (150, 150, 22, [0, 7]),
+                                          (40, 30, 23, [5])])
+def test_bfs_matches_oracle(spark, n, m, tag, srcs):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = bfs_hops(df, srcs, max_hops=20)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == bfs_oracle(edges, srcs, max_hops=20)
+
+
+def test_bfs_chain_exhausts(spark):
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = bfs_hops(df, [0], max_hops=10)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == {i: i for i in range(6)}
+    assert res.exhausted and res.rounds == 5
+
+
+def test_bfs_respects_hop_bound(spark):
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = bfs_hops(df, [0], max_hops=2)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    assert not res.exhausted
+
+
+@pytest.mark.parametrize("n,m,tag,k", [(80, 600, 31, 8), (100, 300, 32, 4),
+                                       (50, 100, 33, 30)])
+def test_kcore_matches_oracle(spark, n, m, tag, k):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = k_core(df, k=k)
+    assert res.converged
+    got = {r.id: r.core_deg for r in res.vertices.collect()}
+    assert got == kcore_oracle(edges, k)
+
+
+def test_kcore_peels_tail_into_empty(spark):
+    """A 5-clique with a pendant chain: 4-core = the clique alone; 5-core
+    is empty (each clique vertex has degree 4)."""
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    core4 = k_core(df, k=4)
+    assert {r.id: r.core_deg for r in core4.vertices.collect()} == {
+        i: 4 for i in range(5)}
+    core5 = k_core(df, k=5)
+    assert core5.vertices.count() == 0 and core5.converged
