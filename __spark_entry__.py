@@ -402,6 +402,60 @@ SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (undirected simple graph)."""
+    from pagerank_spark.operators.triangles import local_clustering_coefficient
+    return local_clustering_coefficient(_edges(spark, sf_dir)).select(
+        "id", "degree", "triangles", F.round("lcc", 6).alias("lcc"))
+
+
+SQL_CLUSTERING_COEFFICIENT = f"""
+WITH {_E_SQL}, {_S_SQL},
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM s e1 JOIN s e2 ON e2.a = e1.b JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+t AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+d AS (SELECT id, count(*) AS degree FROM
+      (SELECT a AS id FROM s UNION ALL SELECT b FROM s) u GROUP BY id)
+SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM d LEFT JOIN t ON t.id = d.id
+"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity (exact DECIMAL moments -> one double)."""
+    from pagerank_spark.operators.graphstats import degree_assortativity
+    return degree_assortativity(_edges(spark, sf_dir)).select(
+        "m_edges", F.round("assortativity", 6).alias("assortativity"))
+
+
+SQL_GRAPH_ASSORTATIVITY = f"""
+WITH {_E_SQL},
+od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+p AS (SELECT od.x, idg.y FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+sums AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+                sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+         FROM p)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS assortativity
+FROM sums
+"""
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the k-core (k=KCORE_K) with their in-core degree."""
     from pagerank_spark.operators.kcore import k_core
@@ -1063,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
         "k_core_44": q_k_core,
+        "clustering_coefficient": q_clustering_coefficient,
+        "graph_assortativity": q_graph_assortativity,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1102,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_3iter": _hits_oracle_sql(HITS_ITERS),
         "bfs_hops": SQL_BFS_HOPS,
         "k_core_44": _kcore_oracle_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
+        "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
+        "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,

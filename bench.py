@@ -91,6 +91,12 @@ def main() -> None:
     timed("label_propagation_3r",
           lambda: noop(label_propagation(edges, max_rounds=3).labels))
     timed("triangle_count", lambda: triangle_count(edges))
+    from pagerank_spark.operators.bfs import bfs_hops
+    from pagerank_spark.operators.hits import hits
+    from pagerank_spark.operators.kcore import k_core
+    timed("hits_3iter", lambda: noop(hits(edges, iterations=3).scores))
+    timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
+    timed("k_core_5", lambda: noop(k_core(edges, k=5, max_rounds=8).vertices))
 
     # -- relational suite (driver-contract queries at bench scale)
     timed("q1_pricing_summary", lambda: noop(entry.q_q1_pricing_summary(spark, sf_dir)))

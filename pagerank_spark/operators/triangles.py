@@ -81,3 +81,37 @@ def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = True) -> Data
         .unionAll(tri.select(F.col("z").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def local_clustering_coefficient(edges: DataFrame,
+                                 order_by_degree: bool = True) -> DataFrame:
+    """(id, degree, triangles, lcc) over the undirected simple graph.
+
+    lcc = 2·T(v) / (d(v)·(d(v)−1)) for d ≥ 2, else 0.0. Triangles come
+    from the degree-oriented enumeration (each counted once per corner),
+    degrees from the canonical simple edge set — one extra groupBy over
+    O(E), joined V-to-V with the triangle counts.
+    """
+    simple = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .unionAll(simple.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(edges, order_by_degree)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id", "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )

@@ -97,3 +97,32 @@ def test_kcore_peels_tail_into_empty(spark):
         i: 4 for i in range(5)}
     core5 = k_core(df, k=5)
     assert core5.vertices.count() == 0 and core5.converged
+
+
+def test_local_clustering_coefficient_exact(spark):
+    """Triangle (0,1,2) with a pendant 3: lcc=1 inside the triangle except
+    vertex 2, whose extra pendant edge dilutes it to 1/3."""
+    from pagerank_spark.operators.triangles import local_clustering_coefficient
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.degree, r.triangles, r.lcc)
+           for r in local_clustering_coefficient(df).collect()}
+    assert got == {0: (2, 1, 1.0), 1: (2, 1, 1.0),
+                   2: (3, 1, pytest.approx(1 / 3)), 3: (1, 0, 0.0)}
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    from pagerank_spark.operators.graphstats import degree_assortativity
+    edges = _random_edges(60, 200, 41)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    out_deg: dict[int, int] = {}
+    in_deg: dict[int, int] = {}
+    for s, d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[d] = in_deg.get(d, 0) + 1
+    xs = np.array([out_deg[s] for s, _ in edges], dtype=np.float64)
+    ys = np.array([in_deg[d] for _, d in edges], dtype=np.float64)
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert row.m_edges == len(edges)
+    assert row.assortativity == pytest.approx(want, abs=1e-9)
