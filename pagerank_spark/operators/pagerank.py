@@ -100,6 +100,7 @@ def pagerank(
     join_strategy: str = "auto",
     broadcast_max_vertices: int = 2_000_000,
     init: str = "uniform",
+    init_ranks: DataFrame | None = None,
     dangling_redistribution: bool = True,
     norm: str = "l1",
     bin_telemetry: bool = False,
@@ -134,6 +135,11 @@ def pagerank(
       unconverged-count CSV of the bblock binary (for_test.h:51-85),
       recorded into each superstep's metrics row (one extra small
       aggregate job per superstep).
+    * ``init_ranks`` — warm start for incremental recompute: an
+      ``(id, rank)`` DataFrame (e.g. the previous crawl's converged
+      ranks) used as the initial vector after renormalization to Σ=1;
+      ids absent from it seed at 1/n. The fixed point is unchanged —
+      only the iteration count to reach it shrinks.
     * ``teleport`` — personalized (topic-sensitive) PageRank: an
       ``(id, p)`` DataFrame with Σp = 1. The lightSpMV finalize is
       ``d·(A^T r) + (1−d)·p`` with p its personalization vector
@@ -196,7 +202,22 @@ def pagerank(
                     teleport.select("id", "p"), "id", "left"
                 ).withColumn("p", F.coalesce("p", F.lit(0.0)))
     if state is None:
-        if init == "out_degree":
+        if init_ranks is not None:
+            # warm start (incremental recompute): seed from a previous run's
+            # ranks — e.g. re-rank after a crawl delta. Vertices new to the
+            # graph get the uniform 1/n seed; the vector is renormalized to
+            # the engine's Σ=1 invariant, after which the fixed point is
+            # unchanged and only the distance to it (iteration count)
+            # shrinks. Same role as resuming, but across GRAPH versions
+            # rather than within one run.
+            raw = graph.vertices.select("id", "is_dangling").join(
+                init_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+            ).withColumn("r0", F.coalesce("r0", F.lit(1.0 / n)))
+            total = float(raw.agg(F.sum("r0")).first()[0])
+            state = raw.select(
+                "id", (F.col("r0") / total).alias("rank"),
+                (F.col("r0") / total).alias("prev_rank"), "is_dangling")
+        elif init == "out_degree":
             # P5 (kernel_bblock.cu:56-68), normalized to Σ=1
             raw = graph.vertices.select(
                 "id", "is_dangling",

@@ -134,3 +134,35 @@ def test_weighted_edges_row_normalized(spark):
     rw = pagerank(gw, tol=1e-10, max_iter=300)
     ru = pagerank(gu, tol=1e-10, max_iter=300)
     np.testing.assert_allclose(_vec(rw, 6), _vec(ru, 6), atol=1e-12)
+
+
+def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
+    """init_ranks: re-rank a perturbed graph seeded with the previous
+    converged vector — same fixed point, fewer iterations than cold."""
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+
+    from pagerank_spark.functions.hashing import mix2
+    n, m = 400, 1600
+    ids = np.arange(m, dtype=np.uint64)
+    base = list(zip((mix2(ids, 71) % np.uint64(n)).astype(np.int64).tolist(),
+                    (mix2(ids, 72) % np.uint64(n)).astype(np.int64).tolist()))
+    g1 = build_graph(spark, spark.createDataFrame(base, "src long, dst long"),
+                     n_vertices=n)
+    r1 = pagerank(g1, alpha=0.85, tol=1e-8, max_iter=200)
+    assert r1.converged
+
+    # perturb: three extra edges out of 1600 — a small crawl delta
+    delta = [(1, 7), (9, 300), (123, 45)]
+    g2 = build_graph(spark,
+                     spark.createDataFrame(base + delta, "src long, dst long"),
+                     n_vertices=n)
+    cold = pagerank(g2, alpha=0.85, tol=1e-8, max_iter=200)
+    warm = pagerank(g2, alpha=0.85, tol=1e-8, max_iter=200,
+                    init_ranks=r1.ranks.select("id", "rank"))
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations
+    got_cold = {r.id: r.rank for r in cold.ranks.collect()}
+    got_warm = {r.id: r.rank for r in warm.ranks.collect()}
+    for i in range(n):
+        assert got_warm[i] == pytest.approx(got_cold[i], abs=1e-7)
