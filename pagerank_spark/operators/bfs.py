@@ -48,6 +48,10 @@ def bfs_hops(
     else:
         src_df = spark.createDataFrame([(int(s),) for s in sources], "id long")
 
+    # pin the (src, dst) projection once: the loop scans it every round, and
+    # the frontier side is the small (broadcast) side of each join
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+
     visited = src_df.select("id", F.lit(0).alias("dist")).localCheckpoint(eager=True)
     frontier = visited.select("id")
     rounds = 0

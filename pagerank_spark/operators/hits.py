@@ -65,6 +65,9 @@ def hits(
     list get hub = authority = 0 after normalization of the first round
     (they receive and emit nothing) but stay in the output.
     """
+    # the edge table is read 2x per iteration (one gather each way): pin it
+    # once instead of re-scanning the source 2·iterations times
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
