@@ -46,6 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=None,
                    help="local-mode threads; ignored under spark-submit "
                         "with an explicit master")
+    p.add_argument("--algo",
+                   choices=["pagerank", "components", "labelprop", "triangles",
+                            "hits", "bfs", "kcore"],
+                   default="pagerank",
+                   help="algorithm to run over the loaded edge table; "
+                        "max_iteration caps rounds/iterations/hops for the "
+                        "iterative ones; non-pagerank results are written "
+                        "as parquet")
+    p.add_argument("--source", default="0",
+                   help="comma-separated source vertex ids for --algo bfs")
+    p.add_argument("--k", type=int, default=2,
+                   help="degree threshold for --algo kcore")
     return p
 
 
@@ -74,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         graph = graph_from_pages(spark, spark.read.parquet(args.input))
 
+    if args.algo != "pagerank":
+        return _run_algo(spark, graph, args)
+
     ckpt = SuperstepCheckpointer(spark, args.checkpoint_dir)
     res = pagerank(
         graph,
@@ -92,6 +107,42 @@ def main(argv: list[str] | None = None) -> int:
 
     print(f"iterations={res.iterations} converged={res.converged} "
           f"l1={res.l1_diff:.3e} edges={graph.n_edges} vertices={graph.n_vertices}")
+    return 0
+
+
+def _run_algo(spark, graph, args) -> int:
+    """Dispatch the non-PageRank algorithms; result table written as parquet."""
+    edges = graph.edges.select("src", "dst")
+    universe = graph.vertices.select("id")
+    if args.algo == "components":
+        from pagerank_spark.operators.components import connected_components
+        res = connected_components(edges, universe=universe,
+                                   max_rounds=args.max_iteration)
+        out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "labelprop":
+        from pagerank_spark.operators.labelprop import label_propagation
+        res = label_propagation(edges, universe=universe,
+                                max_rounds=args.max_iteration)
+        out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "triangles":
+        from pagerank_spark.operators.triangles import local_clustering_coefficient
+        out, tail = local_clustering_coefficient(edges), ""
+    elif args.algo == "hits":
+        from pagerank_spark.operators.hits import hits
+        res = hits(edges, universe=universe, iterations=args.max_iteration)
+        out, tail = res.scores, f"iterations={res.iterations}"
+    elif args.algo == "bfs":
+        from pagerank_spark.operators.bfs import bfs_hops
+        sources = [int(s) for s in args.source.split(",")]
+        res = bfs_hops(edges, sources, max_hops=args.max_iteration)
+        out, tail = res.distances, f"rounds={res.rounds} exhausted={res.exhausted}"
+    else:  # kcore
+        from pagerank_spark.operators.kcore import k_core
+        res = k_core(edges, k=args.k, max_rounds=args.max_iteration)
+        out, tail = res.vertices, f"rounds={res.rounds} converged={res.converged}"
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"algo={args.algo} rows={spark.read.parquet(args.output).count()} "
+          f"edges={graph.n_edges} vertices={graph.n_vertices} {tail}".rstrip())
     return 0
 
 

@@ -170,3 +170,21 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     for _ in range(200):
         r = 0.85 * (P.T @ r) + 0.15 / 3
     np.testing.assert_allclose(vals / 3.0, r, atol=1e-6)
+
+
+@pytest.mark.parametrize("algo,extra,check_cols", [
+    ("components", [], {"id", "component"}),
+    ("labelprop", [], {"id", "label"}),
+    ("triangles", [], {"id", "degree", "triangles", "lcc"}),
+    ("hits", [], {"id", "hub", "authority"}),
+    ("bfs", ["--source", "0,3"], {"id", "dist"}),
+    ("kcore", ["--k", "2"], {"id", "core_deg"}),
+])
+def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
+    from pagerank_spark.cli import main
+    out = tmp_path / f"cli_{algo}"
+    rc = main([g6_file, str(out), "10", "--algo", algo, *extra])
+    assert rc == 0
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == check_cols
+    assert df.count() > 0
