@@ -42,15 +42,22 @@ class HitsResult:
     iterations: int
 
 
-def _l1_normalized(scores: DataFrame, col: str) -> DataFrame:
-    """Divide ``col`` by its global L1 total via a broadcast 1-row join —
-    stays distributed; the total is O(1) data, never the score vector."""
-    total = scores.agg(F.sum(F.abs(col)).alias("_t"))
-    return (
-        scores.crossJoin(F.broadcast(total))
-        .select(*[c for c in scores.columns if c != col],
+def _l1_normalized(scores: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
+    """Checkpoint the raw sums, then divide ``col`` by the global L1 total
+    via a broadcast 1-row join. Materializing FIRST matters: the total and
+    the output both consume the aggregate, and without the checkpoint the
+    upstream edge-gather would run twice per half-iteration (once for the
+    scalar, once for the vector). The normalized view stays a lazy O(V)
+    projection over the pinned blocks — still no driver sync. Returns
+    (normalized view, pinned raw) so the caller can release the blocks."""
+    raw = scores.localCheckpoint(eager=True)
+    total = raw.agg(F.sum(F.abs(col)).alias("_t"))
+    norm = (
+        raw.crossJoin(F.broadcast(total))
+        .select(*[c for c in raw.columns if c != col],
                 (F.col(col) / F.col("_t")).alias(col))
     )
+    return norm, raw
 
 
 def hits(
@@ -79,23 +86,28 @@ def hits(
 
     hub = vertices.select("id", F.lit(1.0).alias("hub"))
     auth = None
+    auth_raw = hub_raw = None
     for it in range(1, iterations + 1):
         # authority gather: along edge direction (per-dst sum of src hubs)
-        auth = (
+        gathered = (
             edges.join(hub.select(F.col("id").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("authority"))
         )
-        auth = _l1_normalized(auth, "authority").localCheckpoint(eager=True)
+        auth, new_auth_raw = _l1_normalized(gathered, "authority")
+        if auth_raw is not None:
+            auth_raw.unpersist()
+        auth_raw = new_auth_raw
         # hub gather: against edge direction (per-src sum of dst authorities)
-        new_hub = (
+        gathered = (
             edges.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("authority").alias("hub"))
         )
-        new_hub = _l1_normalized(new_hub, "hub").localCheckpoint(eager=True)
-        hub.unpersist()
-        hub = new_hub
+        hub, new_hub_raw = _l1_normalized(gathered, "hub")
+        if hub_raw is not None:
+            hub_raw.unpersist()
+        hub_raw = new_hub_raw
 
     scores = (
         vertices.join(hub, "id", "left")
