@@ -69,3 +69,41 @@ def test_components_partition_invariance(spark, edges, perm_seed):
     permuted = parts([(int(pi[s]), int(pi[d])) for s, d in edges])
     mapped = {frozenset(int(pi[v]) for v in grp) for grp in base}
     assert mapped == permuted
+
+
+@seed(44)
+@PROP
+@given(edges=GRAPH, perm_seed=st.integers(0, 2**31))
+def test_kcore_permutation_invariance(spark, edges, perm_seed):
+    """Relabeling vertices permutes the k-core membership and in-core
+    degrees — peeling must not depend on id order or partitioning."""
+    from pagerank_spark.operators.kcore import k_core
+    rng = np.random.default_rng(perm_seed)
+    perm = rng.permutation(N)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.id: r.core_deg for r in k_core(df, k=2).vertices.collect()}
+    pedges = [(int(perm[s]), int(perm[d])) for s, d in edges]
+    pdf = spark.createDataFrame(pedges, "src long, dst long")
+    permuted = {r.id: r.core_deg for r in k_core(pdf, k=2).vertices.collect()}
+    assert permuted == {int(perm[i]): c for i, c in base.items()}
+
+
+@seed(45)
+@PROP
+@given(edges=GRAPH, perm_seed=st.integers(0, 2**31))
+def test_hits_permutation_invariance(spark, edges, perm_seed):
+    """Relabeling vertices permutes hub/authority scores exactly."""
+    from pagerank_spark.operators.hits import hits
+    rng = np.random.default_rng(perm_seed)
+    perm = rng.permutation(N)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.id: (r.hub, r.authority)
+            for r in hits(df, universe=spark.range(N), iterations=2).scores.collect()}
+    pedges = [(int(perm[s]), int(perm[d])) for s, d in edges]
+    pdf = spark.createDataFrame(pedges, "src long, dst long")
+    permuted = {r.id: (r.hub, r.authority)
+                for r in hits(pdf, universe=spark.range(N), iterations=2).scores.collect()}
+    for i in range(N):
+        got = permuted[int(perm[i])]
+        assert abs(got[0] - base[i][0]) < 1e-12
+        assert abs(got[1] - base[i][1]) < 1e-12
