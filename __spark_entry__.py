@@ -402,6 +402,43 @@ SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
+CORENESS_ORACLE_ROUNDS = 24  # h-index fixpoint at sf0.01 is 21; extra = no-op
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number per vertex (h-index iteration to fixpoint); vertices
+    outside the simple graph (isolated / self-loop-only) get core 0."""
+    from pagerank_spark.operators.coreness import coreness
+    g = _graph(spark, sf_dir)
+    res = coreness(_edges(spark, sf_dir))
+    return (
+        g.vertices.select("id").join(res.cores, "id", "left")
+        .select("id", F.coalesce("core", F.lit(0)).alias("core"))
+    )
+
+
+def _coreness_oracle_sql(rounds: int) -> str:
+    """Unrolled h-index rounds; each c{p} is referenced once, so the plan
+    grows linearly (no MATERIALIZED needed)."""
+    parts = [_E_SQL, _U_SQL, _S_SQL, _SYM_SQL,
+             "c0 AS (SELECT src AS id, count(*) AS core FROM sym GROUP BY src)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"n{r} AS (SELECT sym.src AS id, c.core FROM sym "
+            f"JOIN c{p} c ON c.id = sym.dst)")
+        parts.append(
+            f"r{r} AS (SELECT id, core, row_number() OVER "
+            f"(PARTITION BY id ORDER BY core DESC) AS rn FROM n{r})")
+        parts.append(
+            f"c{r} AS (SELECT id, max(least(core, rn)) AS core "
+            f"FROM r{r} GROUP BY id)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT u.id, coalesce(c.core, 0) AS core
+FROM u LEFT JOIN c{rounds} c ON c.id = u.id
+""")
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient (undirected simple graph)."""
     from pagerank_spark.operators.triangles import local_clustering_coefficient
@@ -1117,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
         "k_core_44": q_k_core,
+        "coreness": q_coreness,
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1158,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_3iter": _hits_oracle_sql(HITS_ITERS),
         "bfs_hops": SQL_BFS_HOPS,
         "k_core_44": _kcore_oracle_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
+        "coreness": _coreness_oracle_sql(CORENESS_ORACLE_ROUNDS),
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "q1_pricing_summary": SQL_Q1,

@@ -166,3 +166,26 @@ def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
         if not doomed:
             return deg
         simple = {(a, b) for a, b in simple if a not in doomed and b not in doomed}
+
+
+def coreness_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact core numbers by classic min-degree peeling."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 0
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in adj[v]:
+            if u in deg and u != v:
+                deg[u] -= 1
+                adj[u].discard(v)
+        del deg[v]
+    return core

@@ -126,3 +126,25 @@ def test_degree_assortativity_matches_numpy(spark):
     want = np.corrcoef(xs, ys)[0, 1]
     assert row.m_edges == len(edges)
     assert row.assortativity == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.parametrize("n,m,tag", [(60, 250, 51), (100, 200, 52), (40, 40, 53)])
+def test_coreness_matches_peeling_oracle(spark, n, m, tag):
+    from pagerank_spark.operators.coreness import coreness
+    from pagerank_spark.oracle import coreness_oracle
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = coreness(df)
+    assert res.converged
+    got = {r.id: r.core for r in res.cores.collect()}
+    assert got == coreness_oracle(edges)
+
+
+def test_coreness_clique_with_tail(spark):
+    """5-clique (coreness 4) + pendant chain (coreness 1)."""
+    from pagerank_spark.operators.coreness import coreness
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r.id: r.core for r in coreness(df).cores.collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1}
