@@ -529,6 +529,35 @@ GROUP BY id HAVING count(*) >= {k}
 """)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed graph: label = min
+    vertex id in the SCC (bowtie decomposition, Broder et al. 2000)."""
+    from pagerank_spark.operators.scc import strongly_connected_components
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    res = strongly_connected_components(e, universe=uni)
+    return res.labels
+
+
+# transitive closure of the simple digraph; v's SCC label is the smallest
+# u with v ~> u and u ~> v (itself if none). Exact, O(V·E) — fine at sf0.01.
+SQL_SCC = f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+step(a, b) AS (
+    SELECT src, dst FROM d
+    UNION
+    SELECT s.a, d.dst FROM step s JOIN d ON d.src = s.b
+),
+mutual AS (SELECT r1.a AS id, r1.b AS other
+           FROM step r1 JOIN step r2 ON r2.a = r1.b AND r2.b = r1.a)
+SELECT u.id, least(u.id, coalesce(min(m.other), u.id)) AS scc
+FROM u LEFT JOIN mutual m ON m.id = u.id
+GROUP BY u.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.4-2.5: joins, aggs, windows, sort/limit,
 # set ops, distinct aggregates) — DECIMAL-exact money sums
@@ -1162,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "k_core_44": q_k_core,
         "coreness": q_coreness,
+        "scc": q_scc,
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1204,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": SQL_BFS_HOPS,
         "k_core_44": _kcore_oracle_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
         "coreness": _coreness_oracle_sql(CORENESS_ORACLE_ROUNDS),
+        "scc": SQL_SCC,
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "q1_pricing_summary": SQL_Q1,

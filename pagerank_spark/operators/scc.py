@@ -1,0 +1,150 @@
+"""Strongly connected components of the directed link graph.
+
+Absent from the reference (it computes PageRank only; SURVEY.md §2.9) but
+core to link-graph analytics: the web's bowtie decomposition (Broder et
+al., "Graph structure in the Web", WWW 2000) is defined by the giant SCC.
+
+Algorithm: iterative min-label peeling (the label-propagation member of
+the FW-BW family — Slota/Rajamanickam/Madduri, "BFS and Coloring-Based
+Parallel Algorithms for Strongly Connected Components", IPDPS 2014):
+
+  repeat on the active subgraph:
+    1. trim    — vertices with zero in- or zero out-degree are singleton
+                 SCCs; peel them (cascades handled by later rounds).
+    2. fwd     — hash-min fixpoint along edges: f(v) = min id of any
+                 vertex that reaches v (including v).
+    3. bwd     — hash-min fixpoint against edges: b(v) = min id v reaches.
+    4. settle  — f(v) == b(v) == r means r reaches v and v reaches r, so
+                 v ∈ SCC(r); assign scc(v) = f(v), remove all settled
+                 vertices and their edges.
+
+Every round settles at least the SCC of the smallest active id (and in
+practice many in parallel), so termination is guaranteed; on bowtie-shaped
+web graphs the giant SCC plus the IN/OUT tendrils settle in the first
+couple of rounds. Each inner hash-min round is one edges⋈labels join and
+one min-aggregate — exactly the J1/A2 shuffle shape the engine already
+optimizes — and runs O(condensation diameter) times. Worst case (a long
+directed path of descending ids) degrades to O(V) outer rounds; that is a
+known property of this family and irrelevant at bowtie topology, which is
+the 10^12-scale target. Convergence signals (changed counts, active edge
+count) ride each materialization as observed metrics — one job per round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SCCResult:
+    labels: DataFrame          # (id long, scc long) — scc = min id in the SCC
+    rounds: int                # outer peel rounds
+    converged: bool
+
+
+def _minlabel_fixpoint(edges: DataFrame, verts: DataFrame, key: str,
+                       tag: str, max_rounds: int) -> DataFrame:
+    """Hash-min to fixpoint: label(v) = min id over {v} ∪ {u : u ~> v}
+    where ~> follows ``key``='dst' edges forward (ancestors) or
+    ``key``='src' edges backward (descendants). Returns (id, label)."""
+    other = "src" if key == "dst" else "dst"
+    lab = verts.select("id", F.col("id").alias("label")) \
+               .localCheckpoint(eager=True)
+    for r in range(1, max_rounds + 1):
+        gathered = (
+            edges.join(lab.select(F.col("id").alias(other), "label"), other)
+            .groupBy(F.col(key).alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # new label + changed count ride one job (labels are monotone
+        # non-increasing, so changed==0 is a true fixpoint)
+        obs = Observation(f"scc_{tag}_{r}")
+        nxt = (
+            lab.join(gathered, "id", "left")
+            .select("id", F.col("label").alias("old"),
+                    F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("label"))
+            .observe(obs, F.sum((F.col("label") != F.col("old")).cast("int"))
+                     .alias("changed"))
+            .select("id", "label")
+            .localCheckpoint(eager=True)
+        )
+        lab.unpersist()
+        lab = nxt
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    return lab
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    universe: DataFrame | None = None,
+    max_rounds: int = 50,
+    max_inner_rounds: int = 100,
+) -> SCCResult:
+    """SCC label (= min vertex id in the SCC) per vertex.
+
+    ``universe``: optional (id) DataFrame of all vertices; vertices with
+    no surviving directed edges are singleton SCCs labelled by their id.
+    """
+    spark = edges.sparkSession
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    members = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id")))
+    if universe is not None:
+        members = members.unionAll(universe.select("id"))
+    verts = members.distinct().localCheckpoint(eager=True)
+
+    settled = spark.createDataFrame([], "id long, scc long")
+    active_v, active_e = verts, e
+    rounds, converged = 0, False
+    for rounds in range(1, max_rounds + 1):
+        # 1. trim: no in-edges or no out-edges -> singleton SCC
+        outs = active_e.select(F.col("src").alias("id")).distinct()
+        ins = active_e.select(F.col("dst").alias("id")).distinct()
+        both = outs.join(ins, "id")                      # has in AND out
+        trimmed = active_v.join(both, "id", "left_anti") \
+                          .select("id", F.col("id").alias("scc"))
+        settled = settled.unionAll(trimmed)
+        active_v = active_v.join(both, "id").localCheckpoint(eager=True)
+        obs = Observation(f"scc_edges_{rounds}")
+        active_e = (
+            active_e.join(active_v.select(F.col("id").alias("src")), "src")
+            .join(active_v.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["m"] or 0) == 0:
+            # remaining active vertices (if any) are isolated post-trim
+            settled = settled.unionAll(
+                active_v.select("id", F.col("id").alias("scc")))
+            converged = True
+            break
+
+        # 2+3. forward / backward min-label fixpoints on the active core
+        fwd = _minlabel_fixpoint(active_e, active_v, "dst",
+                                 f"f{rounds}", max_inner_rounds)
+        bwd = _minlabel_fixpoint(active_e, active_v, "src",
+                                 f"b{rounds}", max_inner_rounds)
+
+        # 4. settle f==b; peel
+        pair = fwd.join(bwd.select("id", F.col("label").alias("blabel")), "id")
+        done = pair.filter(F.col("label") == F.col("blabel")) \
+                   .select("id", F.col("label").alias("scc"))
+        settled = settled.unionAll(done).localCheckpoint(eager=True)
+        remaining = pair.filter(F.col("label") != F.col("blabel")) \
+                        .select("id").localCheckpoint(eager=True)
+        active_v.unpersist()
+        active_v = remaining
+        fwd.unpersist()
+        bwd.unpersist()
+
+    labels = verts.join(settled.withColumnRenamed("scc", "s"), "id", "left") \
+                  .select("id", F.coalesce("s", F.col("id")).alias("scc"))
+    return SCCResult(labels=labels, rounds=rounds, converged=converged)

@@ -189,3 +189,59 @@ def coreness_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
                 adj[u].discard(v)
         del deg[v]
     return core
+
+
+def scc_oracle(edges: list[tuple[int, int]], n: int) -> dict[int, int]:
+    """SCC label (= min id in the SCC) per vertex in [0, n), via iterative
+    Tarjan (explicit stack, no recursion limit)."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    label: dict[int, int] = {}
+    counter = 0
+    for root in range(n):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            ns = adj.get(v, [])
+            while pi < len(ns):
+                w = ns[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+    return label
