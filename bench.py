@@ -97,6 +97,10 @@ def main() -> None:
     timed("hits_3iter", lambda: noop(hits(edges, iterations=3).scores))
     timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
     timed("k_core_5", lambda: noop(k_core(edges, k=5, max_rounds=8).vertices))
+    from pagerank_spark.operators.coreness import coreness
+    from pagerank_spark.operators.scc import strongly_connected_components
+    timed("coreness_8r", lambda: noop(coreness(edges, max_rounds=8).cores))
+    timed("scc", lambda: noop(strongly_connected_components(edges).labels))
 
     # -- relational suite (driver-contract queries at bench scale)
     timed("q1_pricing_summary", lambda: noop(entry.q_q1_pricing_summary(spark, sf_dir)))
