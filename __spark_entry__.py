@@ -558,6 +558,37 @@ GROUP BY u.id
 """
 
 
+NF_T = 3  # fixed hop budget so the exact-mode result is SQL-matchable
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed neighborhood function N(t) = #pairs within t hops,
+    t = 0..NF_T (exact mode; the HyperANF sketch path is the scale
+    variant, pytest-checked against this truth)."""
+    from pagerank_spark.operators.neighborhood import neighborhood_function_exact
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    res = neighborhood_function_exact(e, max_t=NF_T, universe=uni)
+    return res.nf
+
+
+SQL_NEIGHBORHOOD = f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+walk(a, b, t) AS (
+    SELECT id, id, 0 FROM u
+    UNION
+    SELECT w.a, d.dst, w.t + 1 FROM walk w JOIN d ON d.src = w.b
+    WHERE w.t < {NF_T}
+),
+md AS (SELECT a, b, min(t) AS t FROM walk GROUP BY a, b)
+SELECT CAST(ts.t AS INT) AS t, count(md.a) AS n_pairs
+FROM range(0, {NF_T + 1}) ts(t) LEFT JOIN md ON md.t <= ts.t
+GROUP BY ts.t
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.4-2.5: joins, aggs, windows, sort/limit,
 # set ops, distinct aggregates) — DECIMAL-exact money sums
@@ -1192,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_44": q_k_core,
         "coreness": q_coreness,
         "scc": q_scc,
+        "neighborhood_function": q_neighborhood_function,
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1235,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core_44": _kcore_oracle_sql(KCORE_K, KCORE_ORACLE_ROUNDS),
         "coreness": _coreness_oracle_sql(CORENESS_ORACLE_ROUNDS),
         "scc": SQL_SCC,
+        "neighborhood_function": SQL_NEIGHBORHOOD,
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "q1_pricing_summary": SQL_Q1,

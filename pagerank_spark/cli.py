@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "with an explicit master")
     p.add_argument("--algo",
                    choices=["pagerank", "components", "labelprop", "triangles",
-                            "hits", "bfs", "kcore"],
+                            "hits", "bfs", "kcore", "coreness", "scc", "anf"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -136,6 +136,25 @@ def _run_algo(spark, graph, args) -> int:
         sources = [int(s) for s in args.source.split(",")]
         res = bfs_hops(edges, sources, max_hops=args.max_iteration)
         out, tail = res.distances, f"rounds={res.rounds} exhausted={res.exhausted}"
+    elif args.algo == "coreness":
+        from pagerank_spark.operators.coreness import coreness
+        res = coreness(edges, max_rounds=args.max_iteration)
+        out, tail = res.cores, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "scc":
+        from pagerank_spark.operators.scc import strongly_connected_components
+        res = strongly_connected_components(edges, universe=universe,
+                                            max_rounds=args.max_iteration)
+        out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "anf":
+        from pagerank_spark.operators.neighborhood import (
+            distance_stats, neighborhood_function_hll)
+        res = neighborhood_function_hll(edges, universe=universe,
+                                        max_t=args.max_iteration)
+        st = distance_stats(res.counts)
+        out = res.nf
+        tail = (f"rounds={res.rounds} converged={res.converged} "
+                f"eff_diam={st['effective_diameter']:.2f} "
+                f"mean_dist={st['mean_distance']:.2f}")
     else:  # kcore
         from pagerank_spark.operators.kcore import k_core
         res = k_core(edges, k=args.k, max_rounds=args.max_iteration)

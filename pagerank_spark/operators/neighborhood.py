@@ -1,0 +1,243 @@
+"""Neighborhood function, effective diameter, and mean distance.
+
+Absent from the reference (it computes PageRank only; SURVEY.md §2.9) but a
+canonical link-graph analytic: N(t) = #{(u,v) : dist(u,v) <= t} counted
+over directed paths, from which the effective diameter (smallest t with
+N(t) >= alpha * N(inf), Boldi-Vigna-style interpolated) and the mean
+finite-pair distance follow.
+
+Two implementations sharing one superstep shape (ball(v, t+1) =
+ball(v, t) ∪ ⋃_{(v,w)∈E} ball(w, t)):
+
+* ``neighborhood_function_exact`` — balls as an explicit (id, r) pair
+  table; one join + unionAll + distinct per hop. O(V·V) state worst case:
+  the small-scale truth used by tests and the DuckDB oracle query.
+* ``neighborhood_function_hll`` — HyperANF (Boldi, Rosa, Vigna, "HyperANF:
+  approximating the neighbourhood function of very large graphs on a
+  budget", WWW 2011): each vertex carries a HyperLogLog sketch of its
+  ball, a fixed array of m = 2^b byte-sized registers; the hop union
+  becomes an elementwise register max. State is O(V·m) and each hop is one
+  edges⋈sketches join + per-register max aggregate — the J1/A2 shuffle
+  shape the engine already optimizes, so this is the 10^12-edge path.
+
+HLL details (all JVM-side, no Python in the loop):
+  register index j = low b bits of xxhash64(id); rho = (#trailing zeros of
+  the remaining 64-b bits) + 1 — computed exactly as log2(w & -w) + 1
+  (w & -w is a power of two, so the double log2 is exact). The estimator
+  is standard HLL with the small-range linear-counting correction; the
+  64-bit hash makes large-range correction unnecessary. Per-round sums of
+  the per-vertex estimates and of all registers ride the materialization
+  as observed metrics — one Spark job per hop. The register sum is a
+  monotone non-decreasing integer, so an unchanged sum is an exact
+  saturation fixpoint and termination needs no tolerance; ``rel_tol``
+  just stops earlier once N(t) plateaus. Self-loops added to the edge
+  set fold each vertex's own ball into the gather join, so a hop is one
+  join + one aggregate with the sketch table referenced exactly once (no
+  merge-back outer join — which also sidesteps a Spark 4.1 analyzer bug
+  that mis-binds a pushed join-key filter when the sketch relation
+  appears twice under USING-join dedup).
+
+Scale note: the sketch join moves O(E·m) bytes per hop — b trades accuracy
+(rel. std. err. ~1.04/sqrt(2^b)) against shuffle volume. The per-register
+max aggregate gets map-side partial aggregation and whole-stage codegen
+(m plain MAX columns, no UDF); skew follows the out-degree head, the same
+profile as the PageRank contribution aggregate (AQE skew handling applies).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class NeighborhoodResult:
+    nf: DataFrame          # (t int, n_pairs) — cumulative pairs within t hops
+    counts: list[float]    # counts[t] = N(t), t = 0..rounds
+    rounds: int
+    converged: bool
+
+
+def _simple(edges: DataFrame) -> DataFrame:
+    return (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+
+
+def _verts(e: DataFrame, universe: DataFrame | None) -> DataFrame:
+    members = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id")))
+    if universe is not None:
+        members = members.unionAll(universe.select("id"))
+    return members.distinct()
+
+
+def neighborhood_function_exact(
+    edges: DataFrame,
+    max_t: int = 32,
+    universe: DataFrame | None = None,
+) -> NeighborhoodResult:
+    """Exact N(t) by materializing every ball as (id, r) pairs.
+
+    Truth oracle for the HLL path; usable directly where V is small enough
+    that reachable-pair state (<= V^2 rows) is acceptable."""
+    spark = edges.sparkSession
+    e = _simple(edges).localCheckpoint(eager=True)
+    verts = _verts(e, universe)
+
+    reach = verts.select("id", F.col("id").alias("r")) \
+                 .localCheckpoint(eager=True)
+    counts = [float(reach.count())]
+    rounds, converged = 0, False
+    for rounds in range(1, max_t + 1):
+        grown = e.join(reach.select(F.col("id").alias("dst"), "r"), "dst") \
+                 .select(F.col("src").alias("id"), "r")
+        obs = Observation(f"nf_exact_{rounds}")
+        nxt = (reach.unionAll(grown).distinct()
+               .observe(obs, F.count(F.lit(1)).alias("n"))
+               .localCheckpoint(eager=True))
+        n = float(obs.get["n"])
+        reach.unpersist()
+        reach = nxt
+        counts.append(n)
+        if n == counts[-2]:
+            converged = True
+            counts.pop()          # last hop added nothing; N already flat
+            rounds -= 1
+            break
+    reach.unpersist()
+    nf = spark.createDataFrame(
+        [(t, int(n)) for t, n in enumerate(counts)], "t int, n_pairs long")
+    return NeighborhoodResult(nf=nf, counts=counts,
+                              rounds=rounds, converged=converged)
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _estimate_expr(m: int):
+    """Per-row HLL estimate of the register array `regs` (standard
+    estimator + small-range linear counting)."""
+    z = F.aggregate(F.col("regs"), F.lit(0.0),
+                    lambda acc, x: acc + F.pow(F.lit(2.0),
+                                               -x.cast("double")))
+    # NB: no CASE WHEN inside higher-order lambdas — Spark 4.1 mis-binds
+    # attributes when such a lambda is later composed with GetArrayItem
+    v0 = F.aggregate(F.col("regs"), F.lit(0),
+                     lambda acc, x: acc + (x == 0).cast("int"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double"))
+    return F.when((raw <= F.lit(2.5 * m)) & (v0 > 0), lin).otherwise(raw)
+
+
+def neighborhood_function_hll(
+    edges: DataFrame,
+    max_t: int = 64,
+    b: int = 6,
+    universe: DataFrame | None = None,
+    rel_tol: float = 1e-4,
+) -> NeighborhoodResult:
+    """HyperANF: approximate N(t) with per-vertex HyperLogLog ball
+    sketches of m = 2^b registers (rel. std. err. ~1.04/sqrt(m))."""
+    if not 4 <= b <= 10:
+        raise ValueError(f"b must be in [4, 10], got {b}")
+    m = 1 << b
+    spark = edges.sparkSession
+    e = _simple(edges)
+    verts = _verts(e, universe)
+    # Self-loops fold each vertex's own ball into the same gather join:
+    # ball(v,t+1) = ⋃_{w ∈ N+(v) ∪ {v}} ball(w,t). One join + one aggregate
+    # per hop, sketches referenced exactly once — no merge-back outer join.
+    e2 = e.unionAll(verts.select(F.col("id").alias("src"),
+                                 F.col("id").alias("dst"))) \
+          .localCheckpoint(eager=True)
+
+    # init: one element (the vertex itself) per sketch
+    h = F.xxhash64(F.col("id"))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(64 - b + 1)).otherwise(
+        (F.log2((w.bitwiseAND(-w)).cast("double")) + 1.0).cast("int"))
+    j = h.bitwiseAND(m - 1).cast("int")
+    # plain m-element array (no transform lambda — see NB above): register
+    # j gets rho, the rest 0
+    sk = verts.select(
+        "id",
+        F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("int")
+                  for i in range(m)]).alias("regs"),
+    ).localCheckpoint(eager=True)
+
+    # the per-vertex estimate is deterministic (fixed in-array fold order);
+    # summing through DECIMAL keeps the total independent of partition /
+    # combine order, so repeated runs agree bit-for-bit
+    est = _estimate_expr(m).cast("decimal(30,8)")
+    # register sum is a monotone non-decreasing integer; equal consecutive
+    # sums <=> no register moved anywhere <=> exact fixpoint
+    reg_sum = F.sum(F.aggregate(F.col("regs"), F.lit(0).cast("long"),
+                                lambda acc, x: acc + x)).alias("rsum")
+    first = sk.select(F.sum(est).alias("n"), reg_sum).first()
+    counts = [float(first["n"])]
+    prev_rsum = int(first["rsum"])
+    rounds, converged = 0, False
+    for rounds in range(1, max_t + 1):
+        obs = Observation(f"nf_hll_{rounds}")
+        nxt = (
+            e2.join(sk.select(F.col("id").alias("dst"), "regs"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(m)])
+            .select("id", F.array(*[F.col(f"_r{i}") for i in range(m)])
+                    .alias("regs"))
+            .observe(obs, F.sum(est).alias("n"), reg_sum)
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        sk.unpersist()
+        sk = nxt
+        counts.append(float(got["n"]))
+        rsum = int(got["rsum"])
+        if rsum == prev_rsum:
+            converged = True            # register saturation: exact fixpoint
+            counts.pop()
+            rounds -= 1
+            break
+        prev_rsum = rsum
+        if counts[-1] - counts[-2] <= rel_tol * counts[-1]:
+            converged = True
+            break
+    sk.unpersist()
+    nf = spark.createDataFrame(
+        [(t, n) for t, n in enumerate(counts)], "t int, n_pairs double")
+    return NeighborhoodResult(nf=nf, counts=counts,
+                              rounds=rounds, converged=converged)
+
+
+def distance_stats(counts: list[float], alpha: float = 0.9) -> dict:
+    """Effective diameter (interpolated, Boldi-Vigna convention) and mean
+    finite-pair distance from a neighborhood function N(0..T)."""
+    if not counts:
+        raise ValueError("empty neighborhood function")
+    total = counts[-1]
+    target = alpha * total
+    eff = float(len(counts) - 1)
+    for t in range(len(counts)):
+        if counts[t] >= target:
+            if t == 0:
+                eff = 0.0
+            else:
+                lo, hi = counts[t - 1], counts[t]
+                eff = (t - 1) + (target - lo) / (hi - lo) if hi > lo else float(t)
+            break
+    reachable = total - counts[0]
+    mean = (sum(t * (counts[t] - counts[t - 1])
+                for t in range(1, len(counts))) / reachable
+            if reachable > 0 else 0.0)
+    return {"effective_diameter": eff, "mean_distance": mean,
+            "n_pairs": total}

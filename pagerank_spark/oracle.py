@@ -245,3 +245,36 @@ def scc_oracle(edges: list[tuple[int, int]], n: int) -> dict[int, int]:
                 for w in comp:
                     label[w] = m
     return label
+
+
+def neighborhood_oracle(edges: list[tuple[int, int]], n: int,
+                        max_t: int | None = None) -> list[int]:
+    """Exact directed neighborhood function: N[t] = #{(u,v): dist(u,v)<=t}
+    over vertices [0, n), via BFS from every vertex. Stops at the flat
+    point (or after max_t hops)."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    from collections import deque
+    hist: dict[int, int] = {}     # dist -> pair count at exactly dist
+    diam = 0
+    for v in range(n):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            if max_t is not None and dist[x] >= max_t:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for dv in dist.values():
+            hist[dv] = hist.get(dv, 0) + 1
+            diam = max(diam, dv)
+    out, acc = [], 0
+    for t in range(diam + 1):
+        acc += hist.get(t, 0)
+        out.append(acc)
+    return out

@@ -1,0 +1,99 @@
+"""Neighborhood function / effective diameter vs an exact BFS oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_spark.functions.hashing import mix2
+from pagerank_spark.operators.neighborhood import (
+    distance_stats,
+    neighborhood_function_exact,
+    neighborhood_function_hll,
+)
+from pagerank_spark.oracle import neighborhood_oracle
+
+
+def _random_edges(n: int, m: int, seed_tag: int) -> list[tuple[int, int]]:
+    ids = np.arange(m, dtype=np.uint64)
+    src = mix2(ids, seed_tag) % np.uint64(n)
+    dst = mix2(ids, seed_tag ^ 0xD1A) % np.uint64(n)
+    return [(int(s), int(d)) for s, d in zip(src, dst)]
+
+
+def test_exact_path_and_cycle(spark):
+    """Directed path 0->1->2->3 plus the 2-cycle {4,5}: hand-counted N(t)."""
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 4)], "src long, dst long")
+    res = neighborhood_function_exact(df, max_t=10)
+    assert res.counts == [6.0, 11.0, 13.0, 14.0]
+    assert res.converged and res.rounds == 3
+    got = {(r.t, r.n_pairs) for r in res.nf.collect()}
+    assert got == {(0, 6), (1, 11), (2, 13), (3, 14)}
+
+
+@pytest.mark.parametrize("n,m,tag", [(60, 150, 71), (80, 320, 72)])
+def test_exact_matches_bfs_oracle(spark, n, m, tag):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = neighborhood_function_exact(df, max_t=64, universe=spark.range(n))
+    assert res.converged
+    assert [int(c) for c in res.counts] == neighborhood_oracle(edges, n)
+
+
+def test_exact_truncated_at_max_t(spark):
+    edges = [(i, i + 1) for i in range(20)]           # directed path
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = neighborhood_function_exact(df, max_t=3)
+    want = neighborhood_oracle(edges, 21, max_t=3)
+    assert [int(c) for c in res.counts] == want
+    assert res.rounds == 3 and not res.converged
+
+
+def test_hll_tracks_exact_within_error(spark):
+    """HyperANF estimate vs exact truth on a random digraph. b=6 gives
+    ~13% rel. std. err. per point; 0.3 is a >2-sigma band."""
+    n, m = 200, 800
+    edges = _random_edges(n, m, 73)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = neighborhood_function_exact(df, max_t=64, universe=spark.range(n))
+    approx = neighborhood_function_hll(df, max_t=64, b=6,
+                                       universe=spark.range(n))
+    assert approx.converged
+    err = abs(approx.counts[-1] - exact.counts[-1]) / exact.counts[-1]
+    assert err < 0.3, (approx.counts[-1], exact.counts[-1])
+
+
+def test_hll_deterministic(spark):
+    edges = _random_edges(80, 240, 74)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = neighborhood_function_hll(df, max_t=32, b=5)
+    c = neighborhood_function_hll(df, max_t=32, b=5)
+    assert a.counts == c.counts and a.rounds == c.rounds
+
+
+def test_hll_saturation_is_exact_fixpoint(spark):
+    """On a single strongly connected cycle every sketch saturates to the
+    full-graph sketch; convergence must come from the register-sum
+    fixpoint, not the plateau tolerance."""
+    n = 12
+    df = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                               "src long, dst long")
+    res = neighborhood_function_hll(df, max_t=64, b=6, rel_tol=0.0)
+    assert res.converged
+    assert res.rounds <= n                     # diameter n-1, +1 flat hop
+
+
+def test_distance_stats_path():
+    # N(t) of the path+cycle fixture
+    stats = distance_stats([6.0, 11.0, 13.0, 14.0], alpha=0.9)
+    assert stats["n_pairs"] == 14.0
+    assert stats["mean_distance"] == pytest.approx(1.5)
+    # target 12.6 falls between N(1)=11 and N(2)=13 -> 1 + 1.6/2
+    assert stats["effective_diameter"] == pytest.approx(1.8)
+
+
+def test_distance_stats_edgeless():
+    stats = distance_stats([5.0])
+    assert stats["effective_diameter"] == 0.0
+    assert stats["mean_distance"] == 0.0
