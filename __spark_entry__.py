@@ -573,6 +573,43 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.nf
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality hc(v) = sum of 1/d(u,v) over
+    0 < d(u,v) <= T, lcm-scaled to an exact BIGINT (T=NF_T, lcm(1..3)=6)."""
+    from pagerank_spark.operators.neighborhood import harmonic_centrality_exact
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    res = harmonic_centrality_exact(e, max_t=NF_T, universe=uni,
+                                    direction="in")
+    return res.scores.select("id", "hc_num")
+
+
+def _harmonic_oracle_sql(t_max: int) -> str:
+    import math
+    lcm = math.lcm(*range(1, t_max + 1))
+    case = " ".join(f"WHEN {k} THEN {lcm // k}" for k in range(1, t_max + 1))
+    # NB: under WITH RECURSIVE, DuckDB 1.0 stops deduplicating plain-UNION
+    # CTEs (u behaves as UNION ALL), so wrap it in an explicit DISTINCT —
+    # a duplicated outer row would multiply the per-vertex sum.
+    return f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL},
+ud AS (SELECT DISTINCT id FROM u),
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+walk(a, b, t) AS (
+    SELECT id, id, 0 FROM ud
+    UNION
+    SELECT w.a, d.src, w.t + 1 FROM walk w JOIN d ON d.dst = w.b
+    WHERE w.t < {t_max}
+),
+md AS (SELECT a, b, min(t) AS t FROM walk GROUP BY a, b)
+SELECT ud.id,
+       CAST(coalesce(sum(CASE md.t {case} END), 0) AS BIGINT) AS hc_num
+FROM ud LEFT JOIN md ON md.a = ud.id AND md.t > 0
+GROUP BY ud.id
+"""
+
+
 SQL_NEIGHBORHOOD = f"""
 WITH RECURSIVE {_E_SQL}, {_U_SQL},
 d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
@@ -1224,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "scc": q_scc,
         "neighborhood_function": q_neighborhood_function,
+        "harmonic_centrality": q_harmonic_centrality,
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1268,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness": _coreness_oracle_sql(CORENESS_ORACLE_ROUNDS),
         "scc": SQL_SCC,
         "neighborhood_function": SQL_NEIGHBORHOOD,
+        "harmonic_centrality": _harmonic_oracle_sql(NF_T),
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "q1_pricing_summary": SQL_Q1,

@@ -219,6 +219,167 @@ def neighborhood_function_hll(
                               rounds=rounds, converged=converged)
 
 
+@dataclass
+class HarmonicResult:
+    scores: DataFrame      # exact: (id, hc_num long, hc double); hll: (id, hc double)
+    rounds: int
+    converged: bool
+
+
+def _directed(edges: DataFrame, direction: str) -> DataFrame:
+    """Ball direction: 'in' computes hc(v) = Σ 1/d(u,v) (classic harmonic
+    centrality — balls grow over reversed edges); 'out' uses d(v,u)."""
+    e = _simple(edges)
+    if direction == "in":
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == "out":
+        return e
+    raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+
+
+def harmonic_centrality_exact(
+    edges: DataFrame,
+    max_t: int = 8,
+    universe: DataFrame | None = None,
+    direction: str = "in",
+) -> HarmonicResult:
+    """Exact harmonic centrality truncated at ``max_t`` hops.
+
+    Integer-exact: contributions are accumulated as lcm(1..max_t)/t, so
+    ``hc_num`` is an order-independent BIGINT (``hc = hc_num / lcm``).
+    Truth oracle for the sketch path; O(V^2) pair state worst case."""
+    if not 1 <= max_t <= 25:
+        raise ValueError("exact mode supports 1 <= max_t <= 25 "
+                         "(lcm-scaled integer weights)")
+    lcm = math.lcm(*range(1, max_t + 1))
+    e = _directed(edges, direction).localCheckpoint(eager=True)
+    verts = _verts(e, universe).localCheckpoint(eager=True)
+
+    reach = verts.select("id", F.col("id").alias("r")) \
+                 .localCheckpoint(eager=True)
+    fresh_counts = []          # per-round (id, s) contributions, kept cached
+    keep = []
+    rounds, converged = 0, False
+    for rounds in range(1, max_t + 1):
+        grown = (e.join(reach.select(F.col("id").alias("dst"), "r"), "dst")
+                 .select(F.col("src").alias("id"), "r").distinct())
+        obs = Observation(f"hc_exact_{rounds}")
+        fresh = (grown.join(reach, ["id", "r"], "left_anti")
+                 .observe(obs, F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
+        if int(obs.get["n"] or 0) == 0:
+            fresh.unpersist()
+            rounds -= 1
+            converged = True
+            break
+        keep.append(fresh)
+        fresh_counts.append(
+            fresh.groupBy("id")
+            .agg((F.count(F.lit(1)) * F.lit(lcm // rounds)).alias("s")))
+        nxt = reach.unionAll(fresh).localCheckpoint(eager=True)
+        reach.unpersist()
+        reach = nxt
+    if fresh_counts:
+        allc = fresh_counts[0]
+        for fc in fresh_counts[1:]:
+            allc = allc.unionAll(fc)
+        sums = allc.groupBy("id").agg(F.sum("s").alias("hc_num"))
+    else:
+        sums = verts.sparkSession.createDataFrame([], "id long, hc_num long")
+    scores = (verts.join(sums, "id", "left")
+              .select("id",
+                      F.coalesce("hc_num", F.lit(0)).alias("hc_num"))
+              .withColumn("hc", F.col("hc_num") / F.lit(float(lcm)))
+              .localCheckpoint(eager=True))
+    reach.unpersist()
+    for df in keep:
+        df.unpersist()
+    return HarmonicResult(scores=scores, rounds=rounds, converged=converged)
+
+
+def harmonic_centrality_hll(
+    edges: DataFrame,
+    max_t: int = 64,
+    b: int = 6,
+    universe: DataFrame | None = None,
+    direction: str = "in",
+    rel_tol: float = 1e-4,
+) -> HarmonicResult:
+    """HyperANF-style harmonic centrality (Boldi-Vigna, "Axioms for
+    centrality", Internet Math. 2014): hc(v) ≈ Σ_t (|B(v,t)|-|B(v,t-1)|)/t
+    with ball sizes from the per-vertex HLL sketches.
+
+    The per-vertex running (estimate, hc) pair rides the gather join on the
+    vertex's own self-loop row and is picked out of the aggregate with a
+    keyed MAX — the sketch relation is still referenced exactly once per
+    hop. All per-vertex arithmetic is per-row, so results are deterministic
+    across partitionings."""
+    if not 4 <= b <= 10:
+        raise ValueError(f"b must be in [4, 10], got {b}")
+    m = 1 << b
+    e = _directed(edges, direction)
+    verts = _verts(e, universe)
+    e2 = e.unionAll(verts.select(F.col("id").alias("src"),
+                                 F.col("id").alias("dst"))) \
+          .localCheckpoint(eager=True)
+
+    h = F.xxhash64(F.col("id"))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(64 - b + 1)).otherwise(
+        (F.log2((w.bitwiseAND(-w)).cast("double")) + 1.0).cast("int"))
+    j = h.bitwiseAND(m - 1).cast("int")
+    est = _estimate_expr(m)
+    sk = (verts.select(
+            "id",
+            F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("int")
+                      for i in range(m)]).alias("regs"))
+          .select("id", "regs", est.alias("pest"), F.lit(0.0).alias("hc"))
+          .localCheckpoint(eager=True))
+
+    reg_sum = F.sum(F.aggregate(F.col("regs"), F.lit(0).cast("long"),
+                                lambda acc, x: acc + x)).alias("rsum")
+    dec_est = est.cast("decimal(30,8)")
+    first = sk.select(F.sum(dec_est).alias("n"), reg_sum).first()
+    prev_n, prev_rsum = float(first["n"]), int(first["rsum"])
+    rounds, converged = 0, False
+    self_row = F.col("dst") == F.col("src")
+    for rounds in range(1, max_t + 1):
+        obs = Observation(f"hc_hll_{rounds}")
+        nxt = (
+            e2.join(sk.select(F.col("id").alias("dst"), "regs",
+                              "pest", "hc"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(m)],
+                 F.max(F.when(self_row, F.col("pest"))).alias("_pest"),
+                 F.max(F.when(self_row, F.col("hc"))).alias("_hc"))
+            .select("id",
+                    F.array(*[F.col(f"_r{i}") for i in range(m)])
+                    .alias("regs"),
+                    F.col("_pest").alias("pest0"), F.col("_hc").alias("hc0"))
+            .select("id", "regs", est.alias("pest"),
+                    (F.col("hc0")
+                     + F.greatest(est - F.col("pest0"), F.lit(0.0))
+                     / F.lit(float(rounds))).alias("hc"))
+            .observe(obs, F.sum(dec_est).alias("n"), reg_sum)
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        sk.unpersist()
+        sk = nxt
+        n, rsum = float(got["n"]), int(got["rsum"])
+        if rsum == prev_rsum:
+            converged = True
+            rounds -= 1
+            break
+        if n - prev_n <= rel_tol * n:
+            prev_n, prev_rsum = n, rsum
+            converged = True
+            break
+        prev_n, prev_rsum = n, rsum
+    scores = sk.select("id", "hc")
+    return HarmonicResult(scores=scores, rounds=rounds, converged=converged)
+
+
 def distance_stats(counts: list[float], alpha: float = 0.9) -> dict:
     """Effective diameter (interpolated, Boldi-Vigna convention) and mean
     finite-pair distance from a neighborhood function N(0..T)."""

@@ -278,3 +278,36 @@ def neighborhood_oracle(edges: list[tuple[int, int]], n: int,
         acc += hist.get(t, 0)
         out.append(acc)
     return out
+
+
+def harmonic_oracle(edges: list[tuple[int, int]], n: int, max_t: int,
+                    direction: str = "in") -> dict[int, int]:
+    """Exact truncated harmonic centrality, lcm-scaled to integers:
+    hc_num(v) = sum over u with 0 < d <= max_t of lcm(1..max_t)/d, where
+    d = d(u,v) for direction='in' (classic) or d(v,u) for 'out'."""
+    import math
+    from collections import deque
+    lcm = math.lcm(*range(1, max_t + 1))
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        if s != d:
+            if direction == "in":
+                adj.setdefault(d, []).append(s)   # reversed walk
+            else:
+                adj.setdefault(s, []).append(d)
+    out = {}
+    for v in range(n):
+        dist = {v: 0}
+        q = deque([v])
+        acc = 0
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_t:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    acc += lcm // dist[y]
+                    q.append(y)
+        out[v] = acc
+    return out

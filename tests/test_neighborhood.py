@@ -97,3 +97,57 @@ def test_distance_stats_edgeless():
     stats = distance_stats([5.0])
     assert stats["effective_diameter"] == 0.0
     assert stats["mean_distance"] == 0.0
+
+
+# --------------------------- harmonic centrality ---------------------------
+
+from pagerank_spark.operators.neighborhood import (  # noqa: E402
+    harmonic_centrality_exact,
+    harmonic_centrality_hll,
+)
+from pagerank_spark.oracle import harmonic_oracle  # noqa: E402
+
+
+def test_harmonic_exact_path(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    res = harmonic_centrality_exact(df, max_t=3, universe=spark.range(4))
+    got = {r.id: r.hc_num for r in res.scores.collect()}
+    assert got == {0: 0, 1: 6, 2: 9, 3: 11}
+    hc = {r.id: r.hc for r in res.scores.collect()}
+    assert hc[3] == pytest.approx(11 / 6)
+
+
+@pytest.mark.parametrize("n,m,tag,direction",
+                         [(50, 160, 81, "in"), (70, 210, 82, "out")])
+def test_harmonic_exact_matches_bfs_oracle(spark, n, m, tag, direction):
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = harmonic_centrality_exact(df, max_t=5, universe=spark.range(n),
+                                    direction=direction)
+    got = {r.id: r.hc_num for r in res.scores.collect()}
+    assert got == harmonic_oracle(edges, n, 5, direction=direction)
+
+
+def test_harmonic_hll_tracks_exact(spark):
+    """Aggregate HLL harmonic mass within estimator error of the exact
+    total, and per-vertex scores deterministic across runs."""
+    n, m = 150, 600
+    edges = _random_edges(n, m, 83)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ex = harmonic_centrality_exact(df, max_t=12, universe=spark.range(n))
+    ap = harmonic_centrality_hll(df, max_t=32, b=6, universe=spark.range(n))
+    assert ap.converged
+    tot_ex = sum(r.hc for r in ex.scores.collect())
+    got = {r.id: r.hc for r in ap.scores.collect()}
+    tot_ap = sum(got.values())
+    assert abs(tot_ap - tot_ex) / tot_ex < 0.3, (tot_ap, tot_ex)
+    again = {r.id: r.hc
+             for r in harmonic_centrality_hll(
+                 df, max_t=32, b=6, universe=spark.range(n)).scores.collect()}
+    assert got == again
+
+
+def test_harmonic_bad_direction(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        harmonic_centrality_exact(df, direction="sideways")

@@ -179,6 +179,9 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("hits", [], {"id", "hub", "authority"}),
     ("bfs", ["--source", "0,3"], {"id", "dist"}),
     ("kcore", ["--k", "2"], {"id", "core_deg"}),
+    ("coreness", [], {"id", "core"}),
+    ("scc", [], {"id", "scc"}),
+    ("anf", [], {"t", "n_pairs"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
