@@ -171,7 +171,7 @@ def neighborhood_function_hll(
     # j gets rho, the rest 0
     sk = verts.select(
         "id",
-        F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("int")
+        F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("tinyint")
                   for i in range(m)]).alias("regs"),
     ).localCheckpoint(eager=True)
 
@@ -331,7 +331,7 @@ def harmonic_centrality_hll(
     est = _estimate_expr(m)
     sk = (verts.select(
             "id",
-            F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("int")
+            F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("tinyint")
                       for i in range(m)]).alias("regs"))
           .select("id", "regs", est.alias("pest"), F.lit(0.0).alias("hc"))
           .localCheckpoint(eager=True))
