@@ -500,6 +500,127 @@ FROM sums
 """
 
 
+CONTRACT_GROUPS = 64   # url -> host fan-in of the contraction oracle query
+
+
+def q_graph_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex contraction (url -> host analogue): collapse ids under
+    id % CONTRACT_GROUPS, merging parallel edges into multiplicity
+    weights and dropping intra-group self-links — the host-graph build
+    (operators/contraction.py; the dense re-numbering of
+    kernel_bblock.cu:590-592 made many-to-one)."""
+    from pagerank_spark.operators.contraction import contract_graph
+    e = _edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    mapping = verts.select("id", (F.col("id") % CONTRACT_GROUPS).alias("gid"))
+    return contract_graph(e, mapping)
+
+
+SQL_GRAPH_CONTRACTION = f"""
+WITH {_E_SQL},
+g AS (SELECT src % {CONTRACT_GROUPS} AS gsrc, dst % {CONTRACT_GROUPS} AS gdst FROM e)
+SELECT gsrc AS src, gdst AS dst, CAST(count(*) AS DOUBLE) AS w
+FROM g WHERE gsrc <> gdst GROUP BY gsrc, gdst
+"""
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity of the simple directed graph (mutual-link
+    fraction)."""
+    from pagerank_spark.operators.graphstats import reciprocity
+    return reciprocity(_edges(spark, sf_dir)).select(
+        "m_edges", "m_reciprocated",
+        F.round("reciprocity", 6).alias("reciprocity"))
+
+
+SQL_GRAPH_RECIPROCITY = f"""
+WITH {_E_SQL},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+m AS (SELECT count(*) AS m FROM d),
+r AS (SELECT count(*) AS r FROM d JOIN d d2 ON d2.src = d.dst AND d2.dst = d.src)
+SELECT m.m AS m_edges, r.r AS m_reciprocated,
+       round(CAST(r.r AS DOUBLE) / m.m, 6) AS reciprocity
+FROM m, r
+"""
+
+
+def q_trustrank_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (teleport on seed ids < PPR_SEEDS) vs ordinary PageRank,
+    PR_ITERS supersteps each; relative spam mass = (pr - tr) / pr
+    (operators/trust.py, Gyongyi et al. VLDB'04/'06). Oracle: the dual
+    unrolled CTE — both chains share the scan/weight/dangling CTEs."""
+    from pagerank_spark.operators.trust import spam_mass
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("id") < PPR_SEEDS).select("id")
+    sm = spam_mass(g, seeds, alpha=ALPHA, tol=None, max_iter=PR_ITERS)
+    n = float(g.n_vertices)
+    return sm.select(
+        "id",
+        F.round(F.col("pr") * F.lit(n), 6).alias("pr_n"),
+        F.round(F.col("tr") * F.lit(n), 6).alias("tr_n"),
+        F.round("spam_mass", 6).alias("spam_mass"))
+
+
+def _spam_mass_oracle_sql(iters: int, seeds: int) -> str:
+    """Two unrolled power iterations (uniform r{k}, seed-teleport t{k})
+    over shared scan CTEs, combined into per-vertex spam mass. Expression
+    shapes mirror operators/pagerank.py exactly (see _pagerank_oracle_sql)
+    so the doubles agree to the ulp in both engines."""
+    p_sql = f"(CASE WHEN u.id < {seeds} THEN 1.0 / {seeds} ELSE 0.0 END)"
+    parts = [
+        _E_SQL, _U_SQL, _OD_SQL,
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
+        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",
+        "t0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        # uniform chain — scalar remain (division by n, ulp parity)
+        parts.append(
+            f"m{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass "
+            f"FROM r{p} r JOIN dang d ON d.id = r.id)")
+        parts.append(
+            f"c{k} AS (SELECT we.dst AS id, sum(r.rank * we.w) AS c "
+            f"FROM we JOIN r{p} r ON r.id = we.src GROUP BY we.dst)")
+        parts.append(
+            f"r{k} AS (SELECT u.id, {ALPHA} * coalesce(c{k}.c, 0.0) "
+            f"+ ({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA})"
+            f" / (SELECT n FROM nv) AS rank "
+            f"FROM u LEFT JOIN c{k} ON c{k}.id = u.id)")
+        # seeded chain — per-vertex teleport remain
+        parts.append(
+            f"tm{k} AS (SELECT coalesce(sum(t.rank), 0.0) AS mass "
+            f"FROM t{p} t JOIN dang d ON d.id = t.id)")
+        parts.append(
+            f"tc{k} AS (SELECT we.dst AS id, sum(t.rank * we.w) AS c "
+            f"FROM we JOIN t{p} t ON t.id = we.src GROUP BY we.dst)")
+        parts.append(
+            f"t{k} AS (SELECT u.id, {ALPHA} * coalesce(tc{k}.c, 0.0) "
+            f"+ ({ALPHA} * (SELECT mass FROM tm{k}) + {1.0 - ALPHA})"
+            f" * {p_sql} AS rank "
+            f"FROM u LEFT JOIN tc{k} ON tc{k}.id = u.id)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT r.id, round(r.rank * (SELECT n FROM nv), 6) AS pr_n,
+       round(t.rank * (SELECT n FROM nv), 6) AS tr_n,
+       round((r.rank - t.rank) / r.rank, 6) AS spam_mass
+FROM r{iters} r JOIN t{iters} t ON t.id = r.id""")
+
+
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted anchor-text index over the F1 synthetic crawl (pandas-UDF
+    anchor extraction -> per-target aggregation, operators/anchors.py).
+    Rows-only in the driver (the pages exist only as the in-memory
+    deterministic fixture, like pagerank_webgraph_e2e); the per-row
+    extraction and aggregation have pytest oracles
+    (tests/test_webgraph_ops.py)."""
+    from pagerank_spark.operators.anchors import anchor_text_index
+    from pagerank_spark.sources.synth import synth_pages
+    return anchor_text_index(synth_pages(spark, n_pages=2000))
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the k-core (k=KCORE_K) with their in-core degree."""
     from pagerank_spark.operators.kcore import k_core
@@ -1264,6 +1385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
+        "graph_contraction": q_graph_contraction,
+        "graph_reciprocity": q_graph_reciprocity,
+        "trustrank_spam_mass": q_trustrank_spam_mass,
+        "anchor_text_index": q_anchor_text_index,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1309,6 +1434,9 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_oracle_sql(NF_T),
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
+        "graph_contraction": SQL_GRAPH_CONTRACTION,
+        "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
+        "trustrank_spam_mass": _spam_mass_oracle_sql(PR_ITERS, PPR_SEEDS),
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,

@@ -40,3 +40,24 @@ def extract_outlinks(html: pd.Series) -> pd.Series:
     s = _decode(html)
     body = s.str.extract(_BODY_RE, expand=False).fillna("")
     return body.str.findall(_HREF_RE)
+
+
+# one anchor element -> (href, inner markup); inner tags are stripped after
+_ANCHOR_PAIR_RE = r'(?s)<a\b[^>]*?href="([^"]+)"[^>]*>(.*?)</a>'
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("anchor", T.StringType()),
+])))
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """(href, anchor-text) pairs in document order — the raw material of an
+    inverted anchor-text index (the web-search signal: how OTHERS describe
+    a page). Same pure-regex discipline as ``extract_outlinks``; anchor
+    text is the element's inner content with residual tags stripped."""
+    import re as _re
+    tag = _re.compile(_TAG_RE)
+    s = _decode(html)
+    body = s.str.extract(_BODY_RE, expand=False).fillna("")
+    return body.str.findall(_ANCHOR_PAIR_RE).apply(
+        lambda pairs: [(h, tag.sub("", a)) for h, a in pairs])

@@ -54,3 +54,34 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.col("m").cast("long").alias("m_edges"),
         (cov / F.sqrt(vx * vy)).alias("assortativity"),
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Link reciprocity of the simple directed graph: the fraction of
+    distinct non-loop edges (u, v) whose reverse (v, u) is also present.
+
+    High reciprocity means mutual-linking cliques (blog rings, mirror
+    farms); crawl-quality pipelines read it next to assortativity before
+    choosing salting thresholds. One distinct + one self-semi-join, both
+    shuffling on the same (src, dst) pair — the second shuffle is the
+    reversed key, unavoidable for any reverse-edge lookup. The ratio is
+    exact (two BIGINT counts, divided once at the end).
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # both counts read one materialization
+    )
+    rec = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "leftsemi",
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m")).select("m")
+    r = rec.agg(F.count(F.lit(1)).alias("r")).select("r")
+    return m.crossJoin(r).select(
+        F.col("m").alias("m_edges"),
+        F.col("r").alias("m_reciprocated"),
+        (F.col("r") / F.col("m")).alias("reciprocity"),
+    )

@@ -19,15 +19,27 @@ def pagerank_oracle(
     tol: float | None = 1e-6,
     max_iter: int = 100,
     p: np.ndarray | None = None,
+    weights: list[float] | None = None,
 ) -> np.ndarray:
     """``p``: optional personalization vector (Σp=1) — the lightSpMV
     personalization slot (PageRank.h:314-343) with dangling mass
-    re-injected proportionally to p."""
+    re-injected proportionally to p. ``weights``: optional explicit edge
+    weights (one per edge) — the P9 path (PageRank.h:256-274): transition
+    weight |w|/row-sum; a source with zero row-sum is dangling."""
     src = np.array([e[0] for e in edges], dtype=np.int64)
     dst = np.array([e[1] for e in edges], dtype=np.int64)
-    out_deg = np.bincount(src, minlength=n).astype(np.float64)
-    w = 1.0 / out_deg[src]
-    dangling = out_deg == 0
+    if weights is not None:
+        aw = np.abs(np.asarray(weights, dtype=np.float64))
+        rowsum = np.zeros(n)
+        np.add.at(rowsum, src, aw)
+        dangling = rowsum == 0
+        keep = aw > 0
+        src, dst = src[keep], dst[keep]
+        w = aw[keep] / rowsum[src]
+    else:
+        out_deg = np.bincount(src, minlength=n).astype(np.float64)
+        w = 1.0 / out_deg[src]
+        dangling = out_deg == 0
     if p is None:
         p = np.full(n, 1.0 / n)
 

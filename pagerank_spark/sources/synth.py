@@ -68,8 +68,19 @@ def outlinks_of(i: int, n_sites: int = 97) -> list[str]:
     return [url_of(j, n_sites) for j in targets]
 
 
+def anchor_word(i: int, t: int) -> str:
+    """Deterministic anchor text for page i's t-th link (a vocab word).
+
+    Anchors are stripped wholesale by ``extract_text``, so varying this
+    does NOT touch the byte-identical extracted-text invariant."""
+    return _VOCAB[int(mix3(i, t, SEED ^ 0xA11C0) % np.uint64(len(_VOCAB)))]
+
+
 def html_of(i: int, n_sites: int = 97) -> bytes:
-    anchors = "".join(f'<a href="{u}">l</a>' for u in outlinks_of(i, n_sites))
+    anchors = "".join(
+        f'<a href="{u}">{anchor_word(i, t)}</a>'
+        for t, u in enumerate(outlinks_of(i, n_sites))
+    )
     page = (
         f"<html><head><title>p{i}</title></head>"
         f"<body>{text_of(i)}{anchors}</body></html>"
