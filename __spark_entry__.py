@@ -609,6 +609,49 @@ SELECT r.id, round(r.rank * (SELECT n FROM nv), 6) AS pr_n,
 FROM r{iters} r JOIN t{iters} t ON t.id = r.id""")
 
 
+WALK_LEN = 4     # steps per walk in the driver query
+WALKS_R = 2      # walks per start vertex
+WALK_SEED = 42
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus
+    (operators/walks.py): neighbor choice = shared 60-bit md5 hash mod
+    out-degree over the sorted adjacency index, so the full corpus is
+    reproducible in ANSI SQL (unrolled oracle below)."""
+    from pagerank_spark.operators.walks import random_walks
+    return random_walks(_edges(spark, sf_dir), walk_length=WALK_LEN,
+                        walks_per_vertex=WALKS_R, seed=WALK_SEED)
+
+
+def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
+    """Unrolled walk steps; the hash expression mirrors shared_hash60
+    (first 15 md5 hex digits as int64) on the identical concat string."""
+    rs = " UNION ALL ".join(
+        f"SELECT {i} AS r" if i == 0 else f"SELECT {i}"
+        for i in range(walks_r))
+    parts = [
+        _E_SQL, _U_SQL,
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "dgw AS (SELECT DISTINCT src, deg FROM adj)",
+        f"s0 AS (SELECT u.id AS start_id, w.r AS walk, 0 AS step, "
+        f"u.id AS vertex FROM u CROSS JOIN ({rs}) w)",
+    ]
+    for k in range(1, length + 1):
+        h = (f"('0x' || substr(md5(s.start_id || ':' || s.walk || ':{k}:' "
+             f"|| s.vertex || ':{seed}'), 1, 15))::BIGINT")
+        parts.append(
+            f"s{k} AS (SELECT s.start_id, s.walk, {k} AS step, a.dst AS vertex "
+            f"FROM s{k - 1} s JOIN dgw d ON d.src = s.vertex "
+            f"JOIN adj a ON a.src = s.vertex AND a.idx = ({h} % d.deg))")
+    union = " UNION ALL ".join(
+        f"SELECT start_id, walk, step, vertex FROM s{k}"
+        for k in range(length + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted anchor-text index over the F1 synthetic crawl (pandas-UDF
     anchor extraction -> per-target aggregation, operators/anchors.py).
@@ -1388,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_contraction": q_graph_contraction,
         "graph_reciprocity": q_graph_reciprocity,
         "trustrank_spam_mass": q_trustrank_spam_mass,
+        "random_walks": q_random_walks,
         "anchor_text_index": q_anchor_text_index,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
@@ -1437,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_contraction": SQL_GRAPH_CONTRACTION,
         "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
         "trustrank_spam_mass": _spam_mass_oracle_sql(PR_ITERS, PPR_SEEDS),
+        "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,

@@ -1,0 +1,108 @@
+"""Deterministic random walks over the link graph (DeepWalk-style corpus).
+
+Random-walk corpora are the standard input to graph-embedding training
+(Perozzi et al., "DeepWalk", KDD 2014; Grover & Leskovec, "node2vec", KDD
+2016) — for a web-scale training-data pipeline the walk generator IS the
+dataset builder. This implementation makes the walks a pure function of
+(start, walk serial, step, current vertex, seed): the "random" neighbor
+choice is a hash mod out-degree, so the corpus is reproducible under any
+partitioning and any cluster size, and the whole generator is expressible
+in ANSI SQL for oracle checking (the same determinism discipline as the
+engine's MinHash pipeline).
+
+Scale shape: the adjacency index is built once — one row_number window
+over the edge table partitioned by src (the same src-grouped layout the
+cached PageRank edge table uses) — and each step is two hash-joins:
+walker-state x out-degree (V-scale both sides) then walker-state x
+adjacency on the composite (src, idx) key (E-scale build side, equi-join,
+no fan-out: exactly one neighbor row matches per walker). State never
+exceeds |starts| x walks_per_vertex rows; per-step lineage is truncated
+with localCheckpoint like every other iterative operator here. Walkers
+that reach a dangling vertex stop (inner join against out-degree), the
+reference's bookmark semantics (/root/reference/kernel_bblock.cu:606-609)
+applied to walk termination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.dedup import shared_hash60
+
+
+def adjacency_index(edges: DataFrame) -> DataFrame:
+    """(src, idx, dst, deg): neighbors of each source numbered 0..deg-1 in
+    sorted-dst multiset order. Duplicate edges keep their multiplicity —
+    a doubled link is twice as likely to be walked, matching the edge
+    multiplicities that weight PageRank transitions."""
+    w = Window.partitionBy("src").orderBy("dst")
+    return edges.select("src", "dst").select(
+        "src", "dst",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Generate walks; returns ``(start_id, walk, step, vertex)`` rows.
+
+    Every start vertex (default: all sources and destinations) emits
+    ``walks_per_vertex`` walks of up to ``walk_length`` steps; step 0 is
+    the start itself. The neighbor picked at step k is
+    ``H(start:walk:k:cur:seed) mod out_deg(cur)`` with H the cross-engine
+    60-bit md5 hash — deterministic and SQL-reproducible.
+    """
+    adj = adjacency_index(edges).localCheckpoint(eager=True)
+    deg = adj.select("src", "deg").distinct()
+    if starts is None:
+        starts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    state = starts.select(
+        F.col("id").alias("start_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),
+        F.lit(0).alias("step"),
+        F.col("id").alias("vertex"),
+    ).localCheckpoint(eager=True)
+    out = [state]
+    for k in range(1, walk_length + 1):
+        pick = shared_hash60(
+            F.concat_ws(
+                ":",
+                F.col("start_id").cast("string"),
+                F.col("walk").cast("string"),
+                F.lit(str(k)),
+                F.col("vertex").cast("string"),
+                F.lit(str(seed)),
+            )
+        ) % F.col("deg")
+        nxt = (
+            state.join(deg.hint("shuffle_hash"),
+                       state.vertex == deg.src)
+            .withColumn("pick_idx", pick)
+            .select("start_id", "walk", "pick_idx", F.col("vertex").alias("cur"))
+            .join(adj.hint("shuffle_hash"),
+                  (F.col("cur") == adj.src) & (F.col("pick_idx") == adj.idx))
+            .select("start_id", "walk", F.lit(k).alias("step"),
+                    F.col("dst").alias("vertex"))
+            .localCheckpoint(eager=True)
+        )
+        # every step stays materialized — each is a slice of the result;
+        # the caller unpersists via the returned plan going cold.
+        state = nxt
+        out.append(state)
+        if not state.take(1):      # every walker hit a dangling vertex
+            break
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
