@@ -390,6 +390,91 @@ FROM u LEFT JOIN h{iters} h ON h.id = u.id
 """)
 
 
+def q_salsa_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (degree-normalized HITS walk, Lempel &
+    Moran WWW'01) after 3 L1-normalized iterations, scaled by n."""
+    from pagerank_spark.operators.hits import salsa
+    g = _graph(spark, sf_dir)
+    res = salsa(_edges(spark, sf_dir), universe=g.vertices.select("id"),
+                iterations=HITS_ITERS)
+    n = float(g.n_vertices)
+    return res.scores.select(
+        "id",
+        F.round(F.col("hub") * n, 6).alias("hub_n"),
+        F.round(F.col("authority") * n, 6).alias("auth_n"),
+    )
+
+
+def _salsa_oracle_sql(iters: int) -> str:
+    """Unrolled SALSA: the HITS unroll with the gathers reading the
+    degree-normalized weighted edge table (wf = 1/out_deg, wb = 1/in_deg
+    — same 1.0/c expression shape as the engine)."""
+    parts = [_E_SQL, _U_SQL, _OD_SQL,
+             "idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst)",
+             "ew AS (SELECT e.src, e.dst, 1.0 / od.c AS wf, 1.0 / idg.c AS wb "
+             "FROM e JOIN od ON od.id = e.src JOIN idg ON idg.id = e.dst)",
+             "nn AS (SELECT count(*) AS n FROM u)",
+             "h0 AS (SELECT id, 1.0 AS hub FROM u)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"a{k} AS (SELECT ew.dst AS id, sum(h.hub * ew.wf) AS v FROM ew "
+            f"JOIN h{p} h ON h.id = ew.src GROUP BY ew.dst)")
+        parts.append(f"at{k} AS (SELECT sum(abs(v)) AS s FROM a{k})")
+        parts.append(
+            f"an{k} AS (SELECT id, v / s AS authority FROM a{k}, at{k})")
+        parts.append(
+            f"hh{k} AS (SELECT ew.src AS id, sum(an.authority * ew.wb) AS v FROM ew "
+            f"JOIN an{k} an ON an.id = ew.dst GROUP BY ew.src)")
+        parts.append(f"ht{k} AS (SELECT sum(abs(v)) AS s FROM hh{k})")
+        parts.append(f"h{k} AS (SELECT id, v / s AS hub FROM hh{k}, ht{k})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT u.id,
+       round(coalesce(h.hub, 0) * nn.n, 6) AS hub_n,
+       round(coalesce(an.authority, 0) * nn.n, 6) AS auth_n
+FROM u LEFT JOIN h{iters} h ON h.id = u.id
+       LEFT JOIN an{iters} an ON an.id = u.id, nn
+""")
+
+
+LINKPRED_TOPK = 5
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard / Adamic-Adar link-prediction features
+    (operators/linkpred.py), top-5 candidate partners per vertex ranked
+    by the exact integer common count (ties by id — engine-independent)."""
+    from pagerank_spark.operators.linkpred import link_prediction_scores
+    return link_prediction_scores(
+        _edges(spark, sf_dir), top_k=LINKPRED_TOPK).select(
+        "a", "b", "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"))
+
+
+SQL_LINK_PREDICTION = f"""
+WITH {_E_SQL}, {_S_SQL},
+sym AS (SELECT a AS w, b AS x FROM s UNION ALL SELECT b AS w, a AS x FROM s),
+deg AS (SELECT w, count(*) AS d FROM sym GROUP BY w),
+nbr AS (SELECT sym.w, sym.x, deg.d FROM sym JOIN deg ON deg.w = sym.w),
+wedges AS (SELECT n1.x AS a, n2.x AS b, n1.d AS dw
+           FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x),
+sc AS (SELECT a, b, count(*) AS common, sum(1.0 / ln(dw)) AS adamic_adar
+       FROM wedges GROUP BY a, b),
+cand AS (SELECT sc.* FROM sc LEFT JOIN s ON s.a = sc.a AND s.b = sc.b
+         WHERE s.a IS NULL),
+feat AS (SELECT cand.a, cand.b, cand.common,
+                CAST(cand.common AS DOUBLE) / (da.d + db.d - cand.common) AS jaccard,
+                cand.adamic_adar,
+                row_number() OVER (PARTITION BY cand.a
+                                   ORDER BY cand.common DESC, cand.b) AS rk
+         FROM cand JOIN deg da ON da.w = cand.a JOIN deg db ON db.w = cand.b)
+SELECT a, b, common, round(jaccard, 6) AS jaccard,
+       round(adamic_adar, 6) AS adamic_adar
+FROM feat WHERE rk <= {LINKPRED_TOPK}
+"""
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed hop distance from vertex BFS_SOURCE (reachable set only)."""
     from pagerank_spark.operators.bfs import bfs_hops
@@ -1432,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_graph_reciprocity,
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "random_walks": q_random_walks,
+        "salsa_3iter": q_salsa_3iter,
+        "link_prediction": q_link_prediction,
         "anchor_text_index": q_anchor_text_index,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
@@ -1482,6 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
         "trustrank_spam_mass": _spam_mass_oracle_sql(PR_ITERS, PPR_SEEDS),
         "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
+        "salsa_3iter": _salsa_oracle_sql(HITS_ITERS),
+        "link_prediction": SQL_LINK_PREDICTION,
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,

@@ -1,0 +1,82 @@
+"""Link-prediction features: common neighbors, Jaccard, Adamic-Adar.
+
+The classic neighborhood-overlap scores (Liben-Nowell & Kleinberg, "The
+link-prediction problem for social networks", CIKM 2003; Adamic & Adar,
+"Friends and neighbors on the web", Social Networks 2003) over the
+undirected simple graph — the feature generator a training pipeline runs
+to label candidate edges (recommendation corpora, graph-completion tasks).
+
+Scale shape: candidate pairs are enumerated as wedges a—w—b through each
+middle vertex w, the same join the triangle counter uses
+(operators/triangles.py); per-middle fan-out is deg(w)², the power-law-head
+hazard the reference's degree split exists for
+(/root/reference/kernel_bblock.cu:663-692). Unlike triangle counting,
+degree ORIENTATION cannot bound it here — both wedge endpoints must be
+enumerated — so the scale control is ``max_degree``: middle vertices above
+the cap are skipped. That is the standard approximation (a hub's
+endorsement is weak anyway: its Adamic-Adar term is 1/ln(deg) → 0, and
+dropping it biases every pair's score by < 1/ln(cap) per hub); pass
+``max_degree=None`` for the exact semantics the SQL oracle checks.
+
+All rankings order by the INTEGER common-neighbor count (ties by
+neighbor id), never by a floating sum — so top-k membership is
+bit-deterministic and engine-independent; the float scores (Jaccard,
+Adamic-Adar) are carried as features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top_k: int = 5,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` predicted partners per vertex.
+
+    Returns ``(a, b, common, jaccard, adamic_adar)`` for unordered pairs
+    a < b that share ≥1 neighbor and are NOT already linked, keeping per
+    ``a`` the ``top_k`` pairs by (common desc, b asc).
+    """
+    s = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = s.unionAll(s.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+           .select(F.col("a").alias("w"), F.col("b").alias("x"))
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    nbr = sym.join(deg.hint("shuffle_hash"), "w")
+    if max_degree is not None:
+        nbr = nbr.filter(F.col("d") <= max_degree)
+    n1 = nbr.select("w", F.col("x").alias("a"), F.col("d").alias("dw"))
+    n2 = nbr.select("w", F.col("x").alias("b"))
+    wedges = n1.join(n2, "w").filter(F.col("a") < F.col("b"))
+    scores = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.sum(F.lit(1.0) / F.log(F.col("dw"))).alias("adamic_adar"),
+    )
+    cand = scores.join(s, ["a", "b"], "left_anti")
+    da = deg.select(F.col("w").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    feat = (
+        cand.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            "a", "b", "common",
+            (F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
+             ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("common"), F.asc("b"))
+    return (
+        feat.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+    )
