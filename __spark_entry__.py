@@ -437,6 +437,65 @@ FROM u LEFT JOIN h{iters} h ON h.id = u.id
 """)
 
 
+BTW_SOURCES = 8   # sampled Brandes sources = the 8 smallest vertex ids
+BTW_DEPTH = 3     # truncation depth (the derived graph's reach is 3 hops)
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated sampled Brandes betweenness (operators/betweenness.py):
+    8 deterministic sources, BFS truncated at 3 hops; bc sums the backward
+    dependency accumulation, oracle-checked via the fully unrolled
+    forward-σ / backward-δ CTE chain."""
+    from pagerank_spark.operators.betweenness import betweenness
+    res = betweenness(_edges(spark, sf_dir), k_sources=BTW_SOURCES,
+                      max_depth=BTW_DEPTH)
+    return res.scores.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _betweenness_oracle_sql(k_sources: int, depth: int) -> str:
+    """Unrolled Brandes: forward levels l1..lD carry exact BIGINT path
+    counts σ (anti-joined against the materialized visited set), backward
+    levels d{D-1}..d1 the double dependencies δ. MATERIALIZED keeps DuckDB
+    from exponentially inlining the per-level self-references."""
+    parts = [
+        _E_SQL, _U_SQL,
+        "dse AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        f"l0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) "
+        f"AS sigma FROM u WHERE id < {k_sources})",
+        "seen0 AS (SELECT s, v FROM l0)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"l{t} AS MATERIALIZED (SELECT l.s, d.dst AS v, sum(l.sigma) AS sigma "
+            f"FROM l{t - 1} l JOIN dse d ON d.src = l.v "
+            f"LEFT JOIN seen{t - 1} p ON p.s = l.s AND p.v = d.dst "
+            f"WHERE p.s IS NULL GROUP BY l.s, d.dst)")
+        parts.append(
+            f"seen{t} AS MATERIALIZED (SELECT s, v FROM seen{t - 1} "
+            f"UNION ALL SELECT s, v FROM l{t})")
+    for t in range(depth - 1, 0, -1):
+        if t + 1 <= depth - 1:
+            dj = f"LEFT JOIN d{t + 1} dd ON dd.s = lw.s AND dd.v = lw.v"
+            dexpr = "coalesce(dd.delta, 0.0)"
+        else:
+            dj, dexpr = "", "0.0"
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT lv.s, lv.v, "
+            f"sum((CAST(lv.sigma AS DOUBLE) / lw.sigma) * (1.0 + {dexpr})) AS delta "
+            f"FROM l{t} lv JOIN dse e2 ON e2.src = lv.v "
+            f"JOIN l{t + 1} lw ON lw.s = lv.s AND lw.v = e2.dst {dj} "
+            f"GROUP BY lv.s, lv.v)")
+    if depth >= 2:
+        union = " UNION ALL ".join(
+            f"SELECT v, delta FROM d{t}" for t in range(1, depth))
+        bc = f"(SELECT v, sum(delta) AS bc FROM ({union}) dd GROUP BY v)"
+    else:
+        bc = "(SELECT CAST(NULL AS BIGINT) AS v, 0.0 AS bc WHERE FALSE)"
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT u.id, round(coalesce(b.bc, 0.0), 6) AS bc
+FROM u LEFT JOIN {bc} b ON b.v = u.id""")
+
+
 LINKPRED_TOPK = 5
 
 
@@ -1519,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "salsa_3iter": q_salsa_3iter,
         "link_prediction": q_link_prediction,
+        "betweenness": q_betweenness,
         "anchor_text_index": q_anchor_text_index,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
@@ -1571,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
         "salsa_3iter": _salsa_oracle_sql(HITS_ITERS),
         "link_prediction": SQL_LINK_PREDICTION,
+        "betweenness": _betweenness_oracle_sql(BTW_SOURCES, BTW_DEPTH),
         "q1_pricing_summary": SQL_Q1,
         "q3_top_orders": SQL_Q3,
         "q5_region_revenue": SQL_Q5,
