@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "with an explicit master")
     p.add_argument("--algo",
                    choices=["pagerank", "components", "labelprop", "triangles",
-                            "hits", "bfs", "kcore", "coreness", "scc", "anf"],
+                            "hits", "bfs", "kcore", "coreness", "scc", "anf",
+                            "salsa", "walks", "betweenness", "linkpred",
+                            "trustrank", "reciprocity"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -155,6 +157,35 @@ def _run_algo(spark, graph, args) -> int:
         tail = (f"rounds={res.rounds} converged={res.converged} "
                 f"eff_diam={st['effective_diameter']:.2f} "
                 f"mean_dist={st['mean_distance']:.2f}")
+    elif args.algo == "salsa":
+        from pagerank_spark.operators.hits import salsa
+        res = salsa(edges, universe=universe, iterations=args.max_iteration)
+        out, tail = res.scores, f"iterations={res.iterations}"
+    elif args.algo == "walks":
+        from pagerank_spark.operators.walks import random_walks
+        out = random_walks(edges, walk_length=args.max_iteration,
+                           walks_per_vertex=args.k)
+        tail = f"walk_length={args.max_iteration} walks_per_vertex={args.k}"
+    elif args.algo == "betweenness":
+        from pagerank_spark.operators.betweenness import betweenness
+        sources = [int(s) for s in args.source.split(",")]
+        res = betweenness(edges, max_depth=args.max_iteration,
+                          sources=spark.createDataFrame(
+                              [(s,) for s in sources], "id long"))
+        out, tail = res.scores, f"depth={res.depth} sources={res.n_sources}"
+    elif args.algo == "linkpred":
+        from pagerank_spark.operators.linkpred import link_prediction_scores
+        out, tail = link_prediction_scores(edges, top_k=args.k), f"top_k={args.k}"
+    elif args.algo == "trustrank":
+        from pagerank_spark.operators.trust import trustrank
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.source.split(",")], "id long")
+        res = trustrank(graph, seeds, alpha=args.alpha, tol=args.tol,
+                        max_iter=args.max_iteration)
+        out, tail = res.ranks, f"iterations={res.iterations} converged={res.converged}"
+    elif args.algo == "reciprocity":
+        from pagerank_spark.operators.graphstats import reciprocity
+        out, tail = reciprocity(edges), ""
     else:  # kcore
         from pagerank_spark.operators.kcore import k_core
         res = k_core(edges, k=args.k, max_rounds=args.max_iteration)

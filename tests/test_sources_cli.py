@@ -182,6 +182,12 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("coreness", [], {"id", "core"}),
     ("scc", [], {"id", "scc"}),
     ("anf", [], {"t", "n_pairs"}),
+    ("salsa", [], {"id", "hub", "authority"}),
+    ("walks", ["--k", "2"], {"start_id", "walk", "step", "vertex"}),
+    ("betweenness", ["--source", "0,2"], {"id", "bc"}),
+    ("linkpred", ["--k", "3"], {"a", "b", "common", "jaccard", "adamic_adar"}),
+    ("trustrank", ["--source", "0,5"], {"id", "rank"}),
+    ("reciprocity", [], {"m_edges", "m_reciprocated", "reciprocity"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
