@@ -101,6 +101,30 @@ def main() -> None:
     from pagerank_spark.operators.scc import strongly_connected_components
     timed("coreness_8r", lambda: noop(coreness(edges, max_rounds=8).cores))
     timed("scc", lambda: noop(strongly_connected_components(edges).labels))
+    from pagerank_spark.operators.betweenness import betweenness
+    from pagerank_spark.operators.contraction import contract_graph
+    from pagerank_spark.operators.hits import salsa
+    from pagerank_spark.operators.linkpred import link_prediction_scores
+    from pagerank_spark.operators.trust import trustrank
+    from pagerank_spark.operators.walks import random_walks
+    timed("salsa_3iter", lambda: noop(salsa(edges, iterations=3).scores))
+    timed("random_walks_4", lambda: noop(random_walks(edges, walk_length=4)))
+    timed("betweenness_8s",
+          lambda: noop(betweenness(edges, k_sources=8, max_depth=4).scores))
+    timed("link_prediction",
+          lambda: noop(link_prediction_scores(edges, top_k=5, max_degree=64)))
+    timed("trustrank_3iter", lambda: noop(trustrank(
+        g, g.vertices.filter(F.col("id") < 16).select("id"),
+        tol=None, max_iter=3).ranks))
+    timed("graph_contraction", lambda: noop(contract_graph(
+        edges, g.vertices.select("id", (F.col("id") % 4096).alias("gid")))))
+
+    # -- webtext ingestion: pandas-UDF anchor extraction + aggregation
+    from pagerank_spark.operators.anchors import anchor_text_index
+    from pagerank_spark.sources.synth import synth_pages
+    timed("anchor_text_index_100k",
+          lambda: noop(anchor_text_index(synth_pages(spark, 100_000,
+                                                     partitions=cpus * 2))))
 
     # -- relational suite (driver-contract queries at bench scale)
     timed("q1_pricing_summary", lambda: noop(entry.q_q1_pricing_summary(spark, sf_dir)))
