@@ -669,6 +669,58 @@ FROM g WHERE gsrc <> gdst GROUP BY gsrc, gdst
 """
 
 
+def q_host_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end host rank: contract the url-level graph (id %
+    CONTRACT_GROUPS), then run weighted PageRank (P9 path — transition
+    weights = link multiplicity / row-sum) for PR_ITERS supersteps.
+    The composition a crawl pipeline actually ships; both stages are
+    individually oracled, this checks them fused."""
+    from pagerank_spark.operators.contraction import contract_graph
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+    e = _edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    mapping = verts.select("id", (F.col("id") % CONTRACT_GROUPS).alias("gid"))
+    g = build_graph(spark, contract_graph(e, mapping))
+    res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS)
+    return res.ranks.select(
+        "id", F.round(F.col("rank") * F.lit(float(g.n_vertices)), 6).alias("rank_n"))
+
+
+def _host_pagerank_oracle_sql(iters: int) -> str:
+    """The weighted-PageRank unroll (see _pagerank_oracle_sql) over the
+    contracted edge table instead of the raw one."""
+    parts = [
+        _E_SQL,
+        f"ce AS (SELECT src % {CONTRACT_GROUPS} AS src, dst % {CONTRACT_GROUPS} AS dst "
+        f"FROM e WHERE src % {CONTRACT_GROUPS} <> dst % {CONTRACT_GROUPS})",
+        "cw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM ce GROUP BY src, dst)",
+        "u AS (SELECT src AS id FROM cw UNION SELECT dst FROM cw)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
+        "ws AS (SELECT src, sum(abs(w)) AS s FROM cw GROUP BY src)",
+        "we AS (SELECT cw.src, cw.dst, abs(cw.w) / ws.s AS w "
+        "FROM cw JOIN ws ON ws.src = cw.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN ws ON ws.src = u.id WHERE ws.s IS NULL)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"m{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass "
+            f"FROM r{p} r JOIN dang d ON d.id = r.id)")
+        parts.append(
+            f"c{k} AS (SELECT we.dst AS id, sum(r.rank * we.w) AS c "
+            f"FROM we JOIN r{p} r ON r.id = we.src GROUP BY we.dst)")
+        parts.append(
+            f"r{k} AS (SELECT u.id, {ALPHA} * coalesce(c{k}.c, 0.0) "
+            f"+ ({ALPHA} * (SELECT mass FROM m{k}) + {1.0 - ALPHA})"
+            f" / (SELECT n FROM nv) AS rank "
+            f"FROM u LEFT JOIN c{k} ON c{k}.id = u.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank * (SELECT n FROM nv), 6) AS rank_n FROM r{iters}")
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link reciprocity of the simple directed graph (mutual-link
     fraction)."""
@@ -1573,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "graph_assortativity": q_graph_assortativity,
         "graph_contraction": q_graph_contraction,
+        "host_pagerank_3iter": q_host_pagerank_3iter,
         "graph_reciprocity": q_graph_reciprocity,
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "random_walks": q_random_walks,
@@ -1626,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
         "graph_contraction": SQL_GRAPH_CONTRACTION,
+        "host_pagerank_3iter": _host_pagerank_oracle_sql(PR_ITERS),
         "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
         "trustrank_spam_mass": _spam_mass_oracle_sql(PR_ITERS, PPR_SEEDS),
         "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
