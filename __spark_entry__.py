@@ -848,6 +848,33 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+COVISIT_TOPK = 3
+
+
+def q_covisit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixie-style walk-co-visitation similarity (walks.py): top-3
+    most-visited vertices per start over the deterministic walk corpus.
+    Oracle: the walk unroll wrapped in the same count + rank."""
+    from pagerank_spark.operators.walks import covisit_similarity
+    return covisit_similarity(
+        _edges(spark, sf_dir), walk_length=WALK_LEN,
+        walks_per_vertex=WALKS_R, seed=WALK_SEED, top_k=COVISIT_TOPK)
+
+
+def _covisit_oracle_sql(length: int, walks_r: int, seed: int, top_k: int) -> str:
+    walks = _random_walks_oracle_sql(length, walks_r, seed)
+    return f"""
+WITH base AS ({walks}),
+cnt AS (SELECT start_id, vertex, count(*) AS visits FROM base
+        WHERE step > 0 AND vertex <> start_id GROUP BY start_id, vertex),
+rk AS (SELECT start_id, vertex, visits,
+              row_number() OVER (PARTITION BY start_id
+                                 ORDER BY visits DESC, vertex) AS r
+       FROM cnt)
+SELECT start_id, vertex, visits FROM rk WHERE r <= {top_k}
+"""
+
+
 def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted anchor-text index over the F1 synthetic crawl (pandas-UDF
     anchor extraction -> per-target aggregation, operators/anchors.py).
@@ -1629,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_graph_reciprocity,
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "random_walks": q_random_walks,
+        "covisit_similarity": q_covisit_similarity,
         "salsa_3iter": q_salsa_3iter,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -1683,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
         "trustrank_spam_mass": _spam_mass_oracle_sql(PR_ITERS, PPR_SEEDS),
         "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
+        "covisit_similarity": _covisit_oracle_sql(
+            WALK_LEN, WALKS_R, WALK_SEED, COVISIT_TOPK),
         "salsa_3iter": _salsa_oracle_sql(HITS_ITERS),
         "link_prediction": SQL_LINK_PREDICTION,
         "betweenness": _betweenness_oracle_sql(BTW_SOURCES, BTW_DEPTH),

@@ -106,3 +106,37 @@ def random_walks(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def covisit_similarity(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 4,
+    seed: int = 42,
+    top_k: int = 5,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Walk-co-visitation similarity (the Pixie recommendation scheme,
+    Eksombatchai et al., WWW 2018): vertices visited most often by walks
+    started at s are s's neighbors-by-structure. Returns
+    ``(start_id, vertex, visits)`` — the ``top_k`` most-visited vertices
+    per start (self excluded), ties broken by vertex id so the ranking is
+    deterministic (visit counts are exact integers).
+
+    One aggregation over the walk corpus: at scale the corpus is the
+    expensive part and is shared with any embedding training run."""
+    w = random_walks(edges, walk_length=walk_length,
+                     walks_per_vertex=walks_per_vertex, seed=seed,
+                     starts=starts)
+    counts = (
+        w.filter((F.col("step") > 0) & (F.col("vertex") != F.col("start_id")))
+        .groupBy("start_id", "vertex")
+        .agg(F.count(F.lit(1)).alias("visits"))
+    )
+    win = Window.partitionBy("start_id").orderBy(
+        F.desc("visits"), F.asc("vertex"))
+    return (
+        counts.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+    )

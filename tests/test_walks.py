@@ -67,3 +67,22 @@ def test_walks_partitioning_invariant(spark):
     a = {tuple(r) for r in random_walks(e, 5, 2, seed=3).collect()}
     b = {tuple(r) for r in random_walks(e.repartition(7), 5, 2, seed=3).collect()}
     assert a == b and len(a) > 20
+
+
+def test_covisit_similarity_matches_recount(spark):
+    from pagerank_spark.operators.walks import covisit_similarity
+    from collections import Counter, defaultdict
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {(r.start_id, r.vertex): r.visits
+           for r in covisit_similarity(e, walk_length=5, walks_per_vertex=3,
+                                       seed=11, top_k=2).collect()}
+    rows = walks_oracle(EDGES, 5, 3, 11)
+    counts = Counter((s, v) for s, r, k, v in rows if k > 0 and v != s)
+    per_start = defaultdict(list)
+    for (s, v), n in counts.items():
+        per_start[s].append((-n, v))
+    want = {}
+    for s, lst in per_start.items():
+        for negn, v in sorted(lst)[:2]:
+            want[(s, v)] = -negn
+    assert got == want
