@@ -848,6 +848,45 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+SAMPLE_FANOUTS = [3, 2]   # GraphSAGE layer fan-outs for the driver query
+SAMPLE_SEEDS = 8          # seeds = ids < 8
+
+
+def q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling (operators/sampling.py):
+    seeds ids < 8, fan-outs 3 then 2, hash-ranked deterministic choice."""
+    from pagerank_spark.operators.sampling import sample_neighbors
+    e = _edges(spark, sf_dir)
+    seeds = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().filter(F.col("id") < SAMPLE_SEEDS))
+    return sample_neighbors(e, seeds, SAMPLE_FANOUTS, seed=WALK_SEED)
+
+
+def _sample_neighbors_oracle_sql(fanouts: list[int], seeds: int,
+                                 seed: int) -> str:
+    """Unrolled layered sampling; per hop a frontier join + the same
+    md5-hash row_number rank the engine computes."""
+    parts = [
+        _E_SQL, _U_SQL,
+        "de AS (SELECT DISTINCT src, dst FROM e)",
+        f"f0 AS (SELECT id FROM u WHERE id < {seeds})",
+    ]
+    for hop, fanout in enumerate(fanouts):
+        h = (f"('0x' || substr(md5('{hop}:' || d.src || ':' || d.dst "
+             f"|| ':{seed}'), 1, 15))::BIGINT")
+        parts.append(
+            f"e{hop} AS (SELECT {hop} AS hop, src, dst FROM ("
+            f"SELECT d.src, d.dst, row_number() OVER (PARTITION BY d.src "
+            f"ORDER BY {h}, d.dst) AS rk "
+            f"FROM de d JOIN f{hop} f ON f.id = d.src) t WHERE rk <= {fanout})")
+        parts.append(
+            f"f{hop + 1} AS (SELECT DISTINCT dst AS id FROM e{hop})")
+    union = " UNION ALL ".join(
+        f"SELECT hop, src, dst FROM e{h}" for h in range(len(fanouts)))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 COVISIT_TOPK = 3
 
 
@@ -1657,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "random_walks": q_random_walks,
         "covisit_similarity": q_covisit_similarity,
+        "sample_neighbors": q_sample_neighbors,
         "salsa_3iter": q_salsa_3iter,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -1713,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
         "covisit_similarity": _covisit_oracle_sql(
             WALK_LEN, WALKS_R, WALK_SEED, COVISIT_TOPK),
+        "sample_neighbors": _sample_neighbors_oracle_sql(
+            SAMPLE_FANOUTS, SAMPLE_SEEDS, WALK_SEED),
         "salsa_3iter": _salsa_oracle_sql(HITS_ITERS),
         "link_prediction": SQL_LINK_PREDICTION,
         "betweenness": _betweenness_oracle_sql(BTW_SOURCES, BTW_DEPTH),
