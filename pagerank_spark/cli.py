@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "components", "labelprop", "triangles",
                             "hits", "bfs", "kcore", "coreness", "scc", "anf",
                             "salsa", "walks", "betweenness", "linkpred",
-                            "trustrank", "reciprocity"],
+                            "trustrank", "reciprocity", "covisit", "sample"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -186,6 +186,18 @@ def _run_algo(spark, graph, args) -> int:
     elif args.algo == "reciprocity":
         from pagerank_spark.operators.graphstats import reciprocity
         out, tail = reciprocity(edges), ""
+    elif args.algo == "covisit":
+        from pagerank_spark.operators.walks import covisit_similarity
+        out = covisit_similarity(edges, walk_length=args.max_iteration,
+                                 top_k=args.k)
+        tail = f"walk_length={args.max_iteration} top_k={args.k}"
+    elif args.algo == "sample":
+        from pagerank_spark.operators.sampling import sample_neighbors
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.source.split(",")], "id long")
+        fanouts = [args.k] * args.max_iteration
+        out = sample_neighbors(edges, seeds, fanouts)
+        tail = f"hops={args.max_iteration} fanout={args.k}"
     else:  # kcore
         from pagerank_spark.operators.kcore import k_core
         res = k_core(edges, k=args.k, max_rounds=args.max_iteration)

@@ -107,3 +107,33 @@ def test_hits_permutation_invariance(spark, edges, perm_seed):
         got = permuted[int(perm[i])]
         assert abs(got[0] - base[i][0]) < 1e-12
         assert abs(got[1] - base[i][1]) < 1e-12
+
+
+@seed(46)
+@PROP
+@given(edges=GRAPH, walk_seed=st.integers(0, 2**20))
+def test_random_walks_match_python_on_arbitrary_graphs(spark, edges, walk_seed):
+    """The walk corpus equals the Python oracle on hypothesis graphs —
+    duplicates, self-loops, dangling tails, any seed."""
+    from pagerank_spark.operators.walks import random_walks
+    from tests.test_walks import walks_oracle
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.start_id, r.walk, r.step, r.vertex)
+           for r in random_walks(e, walk_length=4, walks_per_vertex=2,
+                                 seed=walk_seed).collect()}
+    assert got == walks_oracle(edges, 4, 2, walk_seed)
+
+
+@seed(47)
+@PROP
+@given(edges=GRAPH, samp_seed=st.integers(0, 2**20))
+def test_neighbor_sampling_matches_python_on_arbitrary_graphs(spark, edges,
+                                                              samp_seed):
+    from pagerank_spark.operators.sampling import sample_neighbors
+    from tests.test_sampling import sampling_oracle
+    seeds = sorted({s for s, _ in edges})[:3]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {(r.hop, r.src, r.dst)
+           for r in sample_neighbors(e, sdf, [2, 2], seed=samp_seed).collect()}
+    assert got == sampling_oracle(edges, seeds, [2, 2], samp_seed)

@@ -188,6 +188,8 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("linkpred", ["--k", "3"], {"a", "b", "common", "jaccard", "adamic_adar"}),
     ("trustrank", ["--source", "0,5"], {"id", "rank"}),
     ("reciprocity", [], {"m_edges", "m_reciprocated", "reciprocity"}),
+    ("covisit", ["--k", "2"], {"start_id", "vertex", "visits"}),
+    ("sample", ["--source", "0,2", "--k", "2"], {"hop", "src", "dst"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
