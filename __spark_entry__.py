@@ -506,7 +506,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.linkpred import link_prediction_scores
     return link_prediction_scores(
         _edges(spark, sf_dir), top_k=LINKPRED_TOPK).select(
-        "a", "b", "common",
+        "u", "v", "common",
         F.round("jaccard", 6).alias("jaccard"),
         F.round("adamic_adar", 6).alias("adamic_adar"))
 
@@ -524,13 +524,18 @@ cand AS (SELECT sc.* FROM sc LEFT JOIN s ON s.a = sc.a AND s.b = sc.b
          WHERE s.a IS NULL),
 feat AS (SELECT cand.a, cand.b, cand.common,
                 CAST(cand.common AS DOUBLE) / (da.d + db.d - cand.common) AS jaccard,
-                cand.adamic_adar,
-                row_number() OVER (PARTITION BY cand.a
-                                   ORDER BY cand.common DESC, cand.b) AS rk
-         FROM cand JOIN deg da ON da.w = cand.a JOIN deg db ON db.w = cand.b)
-SELECT a, b, common, round(jaccard, 6) AS jaccard,
+                cand.adamic_adar
+         FROM cand JOIN deg da ON da.w = cand.a JOIN deg db ON db.w = cand.b),
+symf AS (SELECT a AS u, b AS v, common, jaccard, adamic_adar FROM feat
+         UNION ALL
+         SELECT b AS u, a AS v, common, jaccard, adamic_adar FROM feat),
+rkd AS (SELECT u, v, common, jaccard, adamic_adar,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY common DESC, v) AS rk
+        FROM symf)
+SELECT u, v, common, round(jaccard, 6) AS jaccard,
        round(adamic_adar, 6) AS adamic_adar
-FROM feat WHERE rk <= {LINKPRED_TOPK}
+FROM rkd WHERE rk <= {LINKPRED_TOPK}
 """
 
 

@@ -57,9 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterative ones; non-pagerank results are written "
                         "as parquet")
     p.add_argument("--source", default="0",
-                   help="comma-separated source vertex ids for --algo bfs")
+                   help="comma-separated vertex ids: BFS/betweenness sources, "
+                        "trustrank seeds, sampling seeds")
     p.add_argument("--k", type=int, default=2,
-                   help="degree threshold for --algo kcore")
+                   help="per-algo knob: kcore degree threshold, walks per "
+                        "vertex (walks), top-k (linkpred/covisit), per-hop "
+                        "fan-out (sample)")
     return p
 
 

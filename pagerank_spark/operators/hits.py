@@ -60,6 +60,61 @@ def _l1_normalized(scores: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
     return norm, raw
 
 
+def _vertex_universe(ew: DataFrame, universe: DataFrame | None) -> DataFrame:
+    vertices = (
+        ew.select(F.col("src").alias("id"))
+        .unionAll(ew.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if universe is not None:
+        vertices = vertices.unionAll(universe.select("id")).distinct()
+    return vertices.localCheckpoint(eager=True)
+
+
+def _power_scores(ew: DataFrame, vertices: DataFrame, iterations: int,
+                  fwd, bwd) -> DataFrame:
+    """The shared HITS/SALSA loop: per iteration one gather each way over
+    the pinned edge projection, each L1-normalized. ``fwd``/``bwd`` build
+    the summed column from the joined frame (HITS: the score itself;
+    SALSA: score × degree weight)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    hub = vertices.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    auth_raw = hub_raw = None
+    for _ in range(iterations):
+        # authority gather: along edge direction (per-dst sum over src hubs)
+        gathered = (
+            ew.join(hub.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(fwd).alias("authority"))
+        )
+        auth, new_auth_raw = _l1_normalized(gathered, "authority")
+        if auth_raw is not None:
+            auth_raw.unpersist()
+        auth_raw = new_auth_raw
+        # hub gather: against edge direction (per-src sum over dst auths)
+        gathered = (
+            ew.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(bwd).alias("hub"))
+        )
+        hub, new_hub_raw = _l1_normalized(gathered, "hub")
+        if hub_raw is not None:
+            hub_raw.unpersist()
+        hub_raw = new_hub_raw
+
+    return (
+        vertices.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
 def hits(
     edges: DataFrame,
     universe: DataFrame | None = None,
@@ -75,49 +130,9 @@ def hits(
     # the edge table is read 2x per iteration (one gather each way): pin it
     # once instead of re-scanning the source 2·iterations times
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    if universe is not None:
-        vertices = vertices.unionAll(universe.select("id")).distinct()
-    vertices = vertices.localCheckpoint(eager=True)
-
-    hub = vertices.select("id", F.lit(1.0).alias("hub"))
-    auth = None
-    auth_raw = hub_raw = None
-    for it in range(1, iterations + 1):
-        # authority gather: along edge direction (per-dst sum of src hubs)
-        gathered = (
-            edges.join(hub.select(F.col("id").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("authority"))
-        )
-        auth, new_auth_raw = _l1_normalized(gathered, "authority")
-        if auth_raw is not None:
-            auth_raw.unpersist()
-        auth_raw = new_auth_raw
-        # hub gather: against edge direction (per-src sum of dst authorities)
-        gathered = (
-            edges.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("authority").alias("hub"))
-        )
-        hub, new_hub_raw = _l1_normalized(gathered, "hub")
-        if hub_raw is not None:
-            hub_raw.unpersist()
-        hub_raw = new_hub_raw
-
-    scores = (
-        vertices.join(hub, "id", "left")
-        .join(auth, "id", "left")
-        .select(
-            "id",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("authority", F.lit(0.0)).alias("authority"),
-        )
-    )
+    vertices = _vertex_universe(edges, universe)
+    scores = _power_scores(edges, vertices, iterations,
+                           fwd=F.col("hub"), bwd=F.col("authority"))
     return HitsResult(scores=scores, iterations=iterations)
 
 
@@ -152,45 +167,8 @@ def salsa(
                 (F.lit(1.0) / F.col("ic")).alias("wb"))
         .localCheckpoint(eager=True)
     )
-    vertices = (
-        ew.select(F.col("src").alias("id"))
-        .unionAll(ew.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    if universe is not None:
-        vertices = vertices.unionAll(universe.select("id")).distinct()
-    vertices = vertices.localCheckpoint(eager=True)
-
-    hub = vertices.select("id", F.lit(1.0).alias("hub"))
-    auth = None
-    auth_raw = hub_raw = None
-    for _ in range(iterations):
-        gathered = (
-            ew.join(hub.select(F.col("id").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("hub") * F.col("wf")).alias("authority"))
-        )
-        auth, new_auth_raw = _l1_normalized(gathered, "authority")
-        if auth_raw is not None:
-            auth_raw.unpersist()
-        auth_raw = new_auth_raw
-        gathered = (
-            ew.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum(F.col("authority") * F.col("wb")).alias("hub"))
-        )
-        hub, new_hub_raw = _l1_normalized(gathered, "hub")
-        if hub_raw is not None:
-            hub_raw.unpersist()
-        hub_raw = new_hub_raw
-
-    scores = (
-        vertices.join(hub, "id", "left")
-        .join(auth, "id", "left")
-        .select(
-            "id",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("authority", F.lit(0.0)).alias("authority"),
-        )
-    )
+    vertices = _vertex_universe(ew, universe)
+    scores = _power_scores(ew, vertices, iterations,
+                           fwd=F.col("hub") * F.col("wf"),
+                           bwd=F.col("authority") * F.col("wb"))
     return HitsResult(scores=scores, iterations=iterations)

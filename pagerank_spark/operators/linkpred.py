@@ -37,9 +37,10 @@ def link_prediction_scores(
 ) -> DataFrame:
     """Top-``top_k`` predicted partners per vertex.
 
-    Returns ``(a, b, common, jaccard, adamic_adar)`` for unordered pairs
-    a < b that share ≥1 neighbor and are NOT already linked, keeping per
-    ``a`` the ``top_k`` pairs by (common desc, b asc).
+    Returns ``(u, v, common, jaccard, adamic_adar)``: for EVERY vertex u
+    (not just the smaller pair endpoint) the ``top_k`` non-adjacent
+    partners v sharing ≥1 neighbor, ranked by (common desc, v asc). Each
+    unordered pair is scored once and then ranked from both endpoints.
     """
     s = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -74,9 +75,14 @@ def link_prediction_scores(
             "adamic_adar",
         )
     )
-    w = Window.partitionBy("a").orderBy(F.desc("common"), F.asc("b"))
+    cols = ["common", "jaccard", "adamic_adar"]
+    sym_feat = feat.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), *cols,
+    ).unionByName(feat.select(
+        F.col("b").alias("u"), F.col("a").alias("v"), *cols))
+    w = Window.partitionBy("u").orderBy(F.desc("common"), F.asc("v"))
     return (
-        feat.withColumn("rk", F.row_number().over(w))
+        sym_feat.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
         .drop("rk")
     )

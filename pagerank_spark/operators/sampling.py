@@ -41,6 +41,9 @@ def sample_neighbors(
     ``fanouts[h]`` distinct out-edges per frontier vertex; the next
     frontier is the distinct sampled destinations.
     """
+    spark = edges.sparkSession
+    if not fanouts:
+        return spark.createDataFrame([], "hop int, src long, dst long")
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     frontier = seeds.select("id").distinct().localCheckpoint(eager=True)
     out = []

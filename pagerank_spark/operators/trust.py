@@ -30,15 +30,23 @@ from pagerank_spark.operators.graph import LinkGraph
 from pagerank_spark.operators.pagerank import ALPHA_DEFAULT, PageRankResult, pagerank
 
 
-def trust_teleport(seeds: DataFrame) -> DataFrame:
+def trust_teleport(seeds: DataFrame,
+                   universe: DataFrame | None = None) -> DataFrame:
     """Uniform teleport vector over the seed set: (id, p = 1/|seeds|).
 
     The |seeds| count is a driver scalar — seeds are a curated trust list,
-    tiny by construction."""
-    n = seeds.select("id").distinct().count()
+    tiny by construction. ``universe``: optional (id) vertex table; seeds
+    outside it are DROPPED BEFORE the 1/n split. This matters: the
+    pagerank loop left-joins teleport onto the vertex universe, so an
+    out-of-graph seed would otherwise silently carry away its share of
+    teleport mass (Σp < 1) and decay every rank each superstep."""
+    s = seeds.select("id").distinct()
+    if universe is not None:
+        s = s.join(universe.select("id"), "id", "leftsemi")
+    n = s.count()
     if n == 0:
-        raise ValueError("trust seed set is empty")
-    return seeds.select("id").distinct().withColumn("p", F.lit(1.0 / n))
+        raise ValueError("trust seed set is empty (or disjoint from the graph)")
+    return s.withColumn("p", F.lit(1.0 / n))
 
 
 def trustrank(
@@ -55,7 +63,7 @@ def trustrank(
     pass through."""
     return pagerank(
         graph, alpha=alpha, tol=tol, max_iter=max_iter,
-        teleport=trust_teleport(seeds), **kwargs,
+        teleport=trust_teleport(seeds, universe=graph.vertices), **kwargs,
     )
 
 

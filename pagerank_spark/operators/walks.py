@@ -65,8 +65,10 @@ def random_walks(
         starts = (
             edges.select(F.col("src").alias("id"))
             .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct()
         )
+    # a duplicated start would spawn an identical walker under the same
+    # (start_id, walk) key and double-count every co-visitation
+    starts = starts.select("id").distinct()
     state = starts.select(
         F.col("id").alias("start_id"),
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),

@@ -70,7 +70,7 @@ def linkpred_oracle(edges, top_k):
             nbrs[s].add(d)
             nbrs[d].add(s)
     existing = {(min(s, d), max(s, d)) for s, d in edges if s != d}
-    rows = {}
+    pair = {}
     verts = sorted(nbrs)
     for i, a in enumerate(verts):
         for b in verts[i + 1:]:
@@ -81,26 +81,36 @@ def linkpred_oracle(edges, top_k):
                 continue
             aa = sum(1.0 / math.log(len(nbrs[w])) for w in common)
             jac = len(common) / (len(nbrs[a]) + len(nbrs[b]) - len(common))
-            rows[(a, b)] = (len(common), jac, aa)
+            pair[(a, b)] = (len(common), jac, aa)
     out = set()
-    for a in verts:
-        cand = sorted(((k, v) for k, v in rows.items() if k[0] == a),
-                      key=lambda kv: (-kv[1][0], kv[0][1]))[:top_k]
-        for (aa_, b), (c, j, s) in cand:
-            out.add((aa_, b, c, round(j, 9), round(s, 9)))
+    for u in verts:
+        cand = [(v, sc) for (a, b), sc in pair.items()
+                for v in [b if a == u else a if b == u else None] if v is not None]
+        cand.sort(key=lambda kv: (-kv[1][0], kv[0]))
+        for v, (c, j, s) in cand[:top_k]:
+            out.add((u, v, c, round(j, 9), round(s, 9)))
     return out
 
 
 def test_linkpred_matches_python_oracle(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
-    got = {(r.a, r.b, r.common, round(r.jaccard, 9), round(r.adamic_adar, 9))
+    got = {(r.u, r.v, r.common, round(r.jaccard, 9), round(r.adamic_adar, 9))
            for r in link_prediction_scores(e, top_k=5).collect()}
     assert got == linkpred_oracle(EDGES, 5)
 
 
+def test_linkpred_every_vertex_gets_own_ranking(spark):
+    # the LARGEST vertex id must still appear as u: it is never a pair's
+    # smaller endpoint, so the old per-`a` ranking could never rank it
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    us = {r.u for r in link_prediction_scores(e, top_k=5).collect()}
+    assert max(us) == 4   # vertex 4 (the max id) has candidates 0 and 1
+
+
 def test_linkpred_excludes_existing_edges(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
-    got = {(r.a, r.b) for r in link_prediction_scores(e, top_k=10).collect()}
+    got = {(min(r.u, r.v), max(r.u, r.v))
+           for r in link_prediction_scores(e, top_k=10).collect()}
     assert not got & {(0, 1), (0, 2), (1, 2), (2, 3), (0, 3), (2, 4), (3, 4)}
 
 
@@ -108,8 +118,8 @@ def test_linkpred_max_degree_cap_drops_hub_wedges(spark):
     # star through hub 0 (degree 5) plus a side wedge 1-6-2
     star = [(0, i) for i in range(1, 6)] + [(6, 1), (6, 2)]
     e = spark.createDataFrame(star, "src long, dst long")
-    capped = {(r.a, r.b): r.common
+    capped = {(r.u, r.v): r.common
               for r in link_prediction_scores(e, top_k=10, max_degree=3).collect()}
     # pairs only connected through the hub are gone; the 1-2 wedge via 6 stays
     assert (3, 4) not in capped and (4, 5) not in capped
-    assert capped[(1, 2)] == 1
+    assert capped[(1, 2)] == 1 and capped[(2, 1)] == 1
