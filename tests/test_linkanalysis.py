@@ -123,3 +123,10 @@ def test_linkpred_max_degree_cap_drops_hub_wedges(spark):
     # pairs only connected through the hub are gone; the 1-2 wedge via 6 stays
     assert (3, 4) not in capped and (4, 5) not in capped
     assert capped[(1, 2)] == 1 and capped[(2, 1)] == 1
+
+
+def test_salsa_zero_iterations_raises(spark):
+    import pytest
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        salsa(e, iterations=0)

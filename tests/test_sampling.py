@@ -59,3 +59,11 @@ def test_sampling_partitioning_invariant(spark):
     b = {tuple(r) for r in sample_neighbors(
         e.repartition(5), seeds, [2, 2, 2]).collect()}
     assert a == b and len(a) > 4
+
+
+def test_sampling_empty_fanouts_returns_empty_frame(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    res = sample_neighbors(e, seeds, [])
+    assert res.count() == 0
+    assert res.columns == ["hop", "src", "dst"]

@@ -189,3 +189,22 @@ def test_anchor_index_partitioning_invariant(spark):
     b = sorted(map(tuple, anchor_text_index(
         synth.synth_pages(spark, n_pages=200, partitions=7)).collect()))
     assert a == b and len(a) > 50
+
+
+def test_trustrank_drops_out_of_graph_seeds(spark, tiny_graph):
+    """An out-of-graph seed must not carry away teleport mass (Σp < 1
+    would decay every rank each superstep)."""
+    clean = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    junk = spark.createDataFrame([(0,), (1,), (2,), (999,)], "id long")
+    a = {r.id: r.rank
+         for r in trustrank(tiny_graph, clean, tol=None, max_iter=4).ranks.collect()}
+    b = {r.id: r.rank
+         for r in trustrank(tiny_graph, junk, tol=None, max_iter=4).ranks.collect()}
+    assert a == b
+    assert abs(sum(a.values()) - 1.0) < 1e-12
+
+
+def test_trustrank_all_seeds_out_of_graph_raises(spark, tiny_graph):
+    junk = spark.createDataFrame([(999,)], "id long")
+    with pytest.raises(ValueError):
+        trustrank(tiny_graph, junk, tol=None, max_iter=2)
