@@ -185,7 +185,7 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("salsa", [], {"id", "hub", "authority"}),
     ("walks", ["--k", "2"], {"start_id", "walk", "step", "vertex"}),
     ("betweenness", ["--source", "0,2"], {"id", "bc"}),
-    ("linkpred", ["--k", "3"], {"a", "b", "common", "jaccard", "adamic_adar"}),
+    ("linkpred", ["--k", "3"], {"u", "v", "common", "jaccard", "adamic_adar"}),
     ("trustrank", ["--source", "0,5"], {"id", "rank"}),
     ("reciprocity", [], {"m_edges", "m_reciprocated", "reciprocity"}),
     ("covisit", ["--k", "2"], {"start_id", "vertex", "visits"}),
