@@ -1310,6 +1310,88 @@ FROM documents GROUP BY 1
 """
 
 
+SAMPLE10_SALT = "s10"
+
+
+def q_docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by doc_id hash plus
+    a nested 10% subsample flag (operators/splits.py) — pure narrow
+    projections of the cross-engine md5 hash; no shuffle at any scale."""
+    from pagerank_spark.operators.splits import dataset_split, split_bucket
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_split(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split",
+        (split_bucket(F.col("doc_id"), SAMPLE10_SALT) < 1000)
+        .cast("int").alias("sampled10"),
+    )
+
+
+def _dataset_split_sql() -> str:
+    from pagerank_spark.operators.splits import duckdb_bucket_sql
+    b = duckdb_bucket_sql("doc_id")
+    b10 = duckdb_bucket_sql("doc_id", SAMPLE10_SALT)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST({b10} < 1000 AS INT) AS sampled10
+FROM documents
+"""
+
+
+VOCAB_TOPK = 100
+TFIDF_TOPK = 3
+
+_DOC_TERMS_SQL = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)"""
+
+
+def q_docs_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_TOPK} corpus vocabulary by document frequency
+    (textops.vocab_top_terms) — exact-integer ordering, k-limited sort."""
+    from pagerank_spark.operators.textops import vocab_top_terms
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), k=VOCAB_TOPK)
+
+
+SQL_VOCAB_TOP_TERMS = f"""
+WITH {_DOC_TERMS_SQL}
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS tf_total
+FROM dt GROUP BY term
+ORDER BY doc_freq DESC, tf_total DESC, term ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
+def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOPK} terms with tf-idf features
+    (textops.tfidf_top_terms) — integer-exact ranking, float tf-idf
+    carried rounded."""
+    from pagerank_spark.operators.textops import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=TFIDF_TOPK).select(
+        "doc_id", "term", "tf", "doc_freq",
+        F.round("tfidf", 6).alias("tfidf"))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {_DOC_TERMS_SQL},
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM dt GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT dt.doc_id, dt.term, dt.tf, stats.doc_freq,
+         dt.tf * ln(n.n_docs / stats.doc_freq) AS tfidf,
+         row_number() OVER (PARTITION BY dt.doc_id
+                            ORDER BY dt.tf DESC, stats.doc_freq ASC, dt.term ASC) AS rk
+  FROM dt JOIN stats USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, doc_freq, round(tfidf, 6) AS tfidf
+FROM scored WHERE rk <= {TFIDF_TOPK}
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact word-3gram Jaccard >= 0.5 (the verify stage of the
     MinHash pipeline, run exhaustively so DuckDB can oracle it)."""
@@ -1716,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
         "docs_text_profile": q_docs_text_profile,
         "docs_exact_duplicates": q_docs_exact_duplicates,
+        "docs_dataset_split": q_docs_dataset_split,
+        "docs_vocab_top_terms": q_docs_vocab_top_terms,
+        "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1773,6 +1858,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_custkeys_per_priority": SQL_DISTINCT_CUSTKEYS,
         "docs_text_profile": _docs_profile_sql(),
         "docs_exact_duplicates": SQL_DOCS_EXACT_DUPES,
+        "docs_dataset_split": _dataset_split_sql(),
+        "docs_vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+        "docs_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),

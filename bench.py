@@ -148,6 +148,10 @@ def main() -> None:
           lambda: noop(ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)))
     timed("similarity_ann_ivf",
           lambda: noop(ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+    from pagerank_spark.operators.splits import dataset_split
+    from pagerank_spark.operators.textops import tfidf_top_terms
+    timed("docs_dataset_split", lambda: noop(dataset_split(docs, "doc_id")))
+    timed("docs_tfidf_top3", lambda: noop(tfidf_top_terms(docs, k=3)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -118,6 +118,89 @@ def fingerprint_exact(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# -- vocabulary / TF-IDF ------------------------------------------------------
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document term frequencies: (id, term, tf).
+
+    explode is narrow; the (doc, term) groupBy shuffles one row per
+    DISTINCT doc-term pair (map-side partial aggregation collapses
+    repeated tokens before the exchange), so shuffle volume is bounded by
+    per-doc vocabulary, not raw token count.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: (term, doc_freq, tf_total).
+
+    Aggregates the doc-term table by term. Stopword-class terms are the
+    power-law head here, but partial aggregation means each reducer key
+    receives at most one partial row per map partition — no salting
+    needed for a pure count/sum (the same argument as the PageRank
+    contribution aggregate, SURVEY §2.4 A2).
+    """
+    return (
+        doc_terms(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"), F.sum("tf").alias("tf_total"))
+    )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-``k`` vocabulary terms by document frequency.
+
+    Ordering is exact-integer (doc_freq desc, tf_total desc, term asc) so
+    top-k membership is engine-independent; the global sort is k-limited
+    (TakeOrdered — only k rows per partition reach the driver-side merge).
+    """
+    return (
+        term_stats(docs, id_col, text_col)
+        .orderBy(F.desc("doc_freq"), F.desc("tf_total"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` distinguishing terms with tf-idf features.
+
+    Returns (doc_id, term, tf, doc_freq, tfidf) where
+    tfidf = tf · ln(n_docs / doc_freq). Ranking follows the repo's
+    determinism rule (operators/linkpred.py): order by EXACT INTEGERS
+    (tf desc, doc_freq asc, term asc) — the float tfidf rides along as a
+    feature — so top-k membership never depends on engine libm ULPs.
+
+    Plan shape: the doc-term tf table is materialized ONCE
+    (localCheckpoint) and reused by both sides — the doc_freq aggregate
+    and the feature join (shuffle-hash on the term-vocabulary side) —
+    then one window partitioned by doc_id ranks. n_docs is a driver
+    scalar (one count job), like the graph's n_vertices.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.select(id_col).distinct().count()
+    dt = doc_terms(docs, id_col, text_col).localCheckpoint(eager=True)
+    stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = dt.join(stats.hint("shuffle_hash"), "term").select(
+        "doc_id", "term", "tf", "doc_freq",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))
+
+
 def analyze_documents(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """One-pass document profile: all text metrics as columns."""

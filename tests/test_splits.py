@@ -1,0 +1,104 @@
+"""Deterministic dataset split / hash sampling (operators/splits.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.splits import (
+    BUCKETS,
+    dataset_split,
+    hash_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _py_bucket(key, salt=""):
+    h = int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:15], 16)
+    return h % BUCKETS
+
+
+def test_split_matches_python_oracle(spark, docs):
+    rows = dataset_split(docs, "doc_id").select("doc_id", "split").collect()
+    assert rows
+    for r in rows:
+        b = _py_bucket(r.doc_id)
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert r.split == want, (r.doc_id, b, r.split)
+
+
+def test_split_disjoint_exhaustive_and_proportional(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    counts = {r.split: r.n for r in dataset_split(df, "k")
+              .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 20_000  # exhaustive (disjoint by CASE)
+    assert set(counts) == {"train", "val", "test"}
+    # binomial concentration: 3-sigma bands around the expected sizes
+    for label, w in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        exp = 20_000 * w
+        sigma = (20_000 * w * (1 - w)) ** 0.5
+        assert abs(counts[label] - exp) < 4 * sigma, (label, counts[label])
+
+
+def test_split_partition_invariant(spark, docs):
+    a = dataset_split(docs, "doc_id").select("doc_id", "split")
+    b = dataset_split(docs.repartition(13, "text"), "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_custom_weights_normalized(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    # weights that do NOT sum to 1 are normalized (2:1:1)
+    counts = {r.split: r.n for r in
+              dataset_split(df, "k", weights={"a": 2.0, "b": 1.0, "c": 1.0})
+              .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5_000
+    assert counts["a"] > counts["b"] * 1.5
+    assert counts["a"] > counts["c"] * 1.5
+
+
+def test_split_salt_changes_assignment_not_sizes(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = dataset_split(df, "k").select("k", "split")
+    b = dataset_split(df, "k", salt="fold2").select("k", "split")
+    moved = a.join(b.withColumnRenamed("split", "split2"), "k") \
+             .filter(F.col("split") != F.col("split2")).count()
+    assert moved > 0  # a different salt is a genuinely different layout
+
+
+def test_split_rejects_bad_weights(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        dataset_split(df, "k", weights={})
+    with pytest.raises(ValueError):
+        dataset_split(df, "k", weights={"a": -0.5, "b": 1.5})
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s20 = set(r.k for r in hash_sample(df, "k", 0.2).collect())
+    s50 = set(r.k for r in hash_sample(df, "k", 0.5).collect())
+    assert s20 <= s50                      # nested rates: no churn when growing
+    assert s20 == set(r.k for r in hash_sample(df, "k", 0.2).collect())
+    assert abs(len(s50) - 5_000) < 4 * (10_000 * 0.25) ** 0.5
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
+def test_split_plan_is_narrow(spark, docs):
+    """The 100-TB contract: assignment adds NO exchange to the scan."""
+    plan = dataset_split(docs, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

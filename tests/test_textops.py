@@ -78,3 +78,54 @@ def test_fingerprint_md5_groups_identical_text(spark):
     out = analyze_documents(sp).select("doc_id", "fp_md5").collect()
     fp = {r.doc_id: r.fp_md5 for r in out}
     assert fp[1] == fp[2] != fp[3]
+
+
+# -- vocabulary / tf-idf ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    return spark.createDataFrame(
+        [(1, "apple banana  apple"),
+         (2, "banana cherry"),
+         (3, "apple date date date"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_terms_counts(spark, tiny_corpus):
+    from pagerank_spark.operators.textops import doc_terms
+    got = {(r.doc_id, r.term): r.tf for r in doc_terms(tiny_corpus).collect()}
+    assert got == {(1, "apple"): 2, (1, "banana"): 1, (2, "banana"): 1,
+                   (2, "cherry"): 1, (3, "apple"): 1, (3, "date"): 3}
+
+
+def test_vocab_top_terms_exact_order(spark, tiny_corpus):
+    from pagerank_spark.operators.textops import vocab_top_terms
+    rows = vocab_top_terms(tiny_corpus, k=3).collect()
+    assert [(r.term, r.doc_freq, r.tf_total) for r in rows] == [
+        ("apple", 2, 3), ("banana", 2, 2), ("date", 1, 3)]
+
+
+def test_tfidf_top_terms_ranking_and_values(spark, tiny_corpus):
+    import math
+    from pagerank_spark.operators.textops import tfidf_top_terms
+    rows = tfidf_top_terms(tiny_corpus, k=1).collect()
+    top = {r.doc_id: r for r in rows}
+    # doc 1: apple wins on tf; doc 2: tf tie -> rarer term (df asc) wins;
+    # doc 3: date on tf; doc 4 (null text) contributes no terms at all
+    assert set(top) == {1, 2, 3}
+    assert top[1].term == "apple" and top[2].term == "cherry" \
+        and top[3].term == "date"
+    n_docs = 4  # distinct doc_ids (null-text doc still counts in the corpus)
+    assert top[3].tfidf == pytest.approx(3 * math.log(n_docs / 1), rel=1e-12)
+    assert top[1].tfidf == pytest.approx(2 * math.log(n_docs / 2), rel=1e-12)
+
+
+def test_tfidf_partition_invariant(spark, tiny_corpus):
+    from pagerank_spark.operators.textops import tfidf_top_terms
+    a = tfidf_top_terms(tiny_corpus, k=2).select("doc_id", "term", "tf")
+    b = tfidf_top_terms(tiny_corpus.repartition(5), k=2) \
+        .select("doc_id", "term", "tf")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
