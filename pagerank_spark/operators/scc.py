@@ -49,7 +49,22 @@ def _minlabel_fixpoint(edges: DataFrame, verts: DataFrame, key: str,
                        tag: str, max_rounds: int) -> DataFrame:
     """Hash-min to fixpoint: label(v) = min id over {v} ∪ {u : u ~> v}
     where ~> follows ``key``='dst' edges forward (ancestors) or
-    ``key``='src' edges backward (descendants). Returns (id, label)."""
+    ``key``='src' edges backward (descendants). Returns (id, label).
+
+    Evaluated-and-rejected acceleration: a pointer-jump shortcut
+    label(v) <- min(label(v), label(label(v))) (the doubling trick of
+    undirected CC's star operations) is semantically valid here and cut
+    30 -> 20 total inner rounds (~30% wall) on the 600k-edge bench
+    graph, but it only compresses when labels form CHAINS (label(v)≠v
+    pointing at an already-improved vertex). In the against-edge
+    direction of an ascending-id path/cycle, gather improves exactly one
+    frontier vertex per round and every other label is still its own id,
+    so the jump buys nothing there while adding an O(V) self-join per
+    round — and in-situ it exhibited super-linear per-round wall growth
+    on small fixtures. Directed reachability min-label has no safe
+    analogue of large-star; the plain gather is O(condensation diameter)
+    and is kept (the same trade the reference makes by iterating SpMV
+    rather than building reachability closures)."""
     other = "src" if key == "dst" else "dst"
     lab = verts.select("id", F.col("id").alias("label")) \
                .localCheckpoint(eager=True)
