@@ -125,6 +125,17 @@ def test_linkpred_max_degree_cap_drops_hub_wedges(spark):
     assert capped[(1, 2)] == 1 and capped[(2, 1)] == 1
 
 
+def test_linkpred_capped_plan_equals_exact_when_cap_not_binding(spark):
+    # the two physical plans (bounded-array enumeration vs wedge self-join)
+    # must agree exactly whenever the cap exceeds every degree
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    exact = {(r.u, r.v, r.common, round(r.jaccard, 9), round(r.adamic_adar, 9))
+             for r in link_prediction_scores(e, top_k=5).collect()}
+    capped = {(r.u, r.v, r.common, round(r.jaccard, 9), round(r.adamic_adar, 9))
+              for r in link_prediction_scores(e, top_k=5, max_degree=1000).collect()}
+    assert exact == capped
+
+
 def test_salsa_zero_iterations_raises(spark):
     import pytest
     e = spark.createDataFrame(EDGES, "src long, dst long")
