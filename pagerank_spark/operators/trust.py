@@ -81,8 +81,19 @@ def spam_mass(
     endorsed by the trusted core (spam-farm signature); near 0 (or
     negative): trust-rich. pr >= (1-alpha)/n > 0, so the ratio is total.
     """
-    pr = pagerank(graph, alpha=alpha, tol=tol, max_iter=max_iter).ranks
-    tr = trustrank(graph, seeds, alpha=alpha, tol=tol, max_iter=max_iter).ranks
+    # the two power iterations share only the cached immutable edge table;
+    # submitting their job DAGs from two threads overlaps their supersteps
+    # (each one's shuffle waves fill the slots the other leaves idle at its
+    # per-superstep barriers — same pattern as SCC's fwd/bwd fixpoints,
+    # operators/scc.py). Futures re-raise worker exceptions on .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pr_fut = pool.submit(pagerank, graph, alpha=alpha, tol=tol,
+                             max_iter=max_iter)
+        tr_fut = pool.submit(trustrank, graph, seeds, alpha=alpha, tol=tol,
+                             max_iter=max_iter)
+        pr, tr = pr_fut.result().ranks, tr_fut.result().ranks
     return (
         pr.select("id", F.col("rank").alias("pr"))
         .join(tr.select("id", F.col("rank").alias("tr")), "id")
