@@ -56,6 +56,13 @@ def dataset_split(
     order defines the bucket layout, so keep it fixed across runs).
     Default 80/10/10 train/val/test. Pure projection: no shuffle, no RDD,
     no sampling state — the 100-TB plan is one codegen'd scan.
+
+    NULL keys: md5(NULL) is NULL, every ``bucket < t`` comparison is NULL
+    (never true), so NULL-keyed rows deterministically take the LAST
+    label — identically in Spark and the DuckDB oracle. Same mechanics
+    drop NULL keys from every ``hash_sample`` (a NULL filter predicate).
+    Key columns are expected non-null; this pins the failure mode rather
+    than leaving it engine-defined.
     """
     if weights is None:
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}

@@ -97,6 +97,15 @@ def test_hash_sample_rejects_bad_rate(spark):
         hash_sample(df, "k", 1.5)
 
 
+def test_null_keys_deterministic_fallthrough(spark):
+    # md5(NULL) -> NULL bucket: splits take the LAST label, samples drop —
+    # the documented, engine-consistent pin of the failure mode
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    got = {r.k: r.split for r in dataset_split(df, "k").collect()}
+    assert got[None] == "test"
+    assert hash_sample(df, "k", 1.0).filter(F.col("k").isNull()).count() == 0
+
+
 def test_split_plan_is_narrow(spark, docs):
     """The 100-TB contract: assignment adds NO exchange to the scan."""
     plan = dataset_split(docs, "doc_id")._jdf.queryExecution() \
