@@ -460,8 +460,10 @@ def _betweenness_oracle_sql(k_sources: int, depth: int) -> str:
     parts = [
         _E_SQL, _U_SQL,
         "dse AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        # seed set derived exactly like the engine (k SMALLEST ids, not
+        # ids < k — identical unless ids are dense, but don't assume that)
         f"l0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) "
-        f"AS sigma FROM u WHERE id < {k_sources})",
+        f"AS sigma FROM (SELECT id FROM u ORDER BY id LIMIT {k_sources}) su)",
         "seen0 AS (SELECT s, v FROM l0)",
     ]
     for t in range(1, depth + 1):
@@ -768,10 +770,16 @@ def _spam_mass_oracle_sql(iters: int, seeds: int) -> str:
     over shared scan CTEs, combined into per-vertex spam mass. Expression
     shapes mirror operators/pagerank.py exactly (see _pagerank_oracle_sql)
     so the doubles agree to the ulp in both engines."""
-    p_sql = f"(CASE WHEN u.id < {seeds} THEN 1.0 / {seeds} ELSE 0.0 END)"
+    # the engine's trust_teleport normalizes by the ACTUAL surviving seed
+    # count after the universe semi-join — mirror that (1/|{id in u: id <
+    # seeds}|) instead of assuming ids 0..seeds-1 all exist
+    p_sql = (f"(CASE WHEN u.id < {seeds} "
+             f"THEN 1.0 / (SELECT k FROM sk) ELSE 0.0 END)")
     parts = [
         _E_SQL, _U_SQL, _OD_SQL,
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
+        f"sk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM u "
+        f"WHERE id < {seeds})",
         "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
         "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
         "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM u)",

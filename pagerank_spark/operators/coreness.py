@@ -9,19 +9,25 @@ repeatedly set core(v) to the h-index of its neighbors' current core values
 monotone non-increasing and converges to the exact coreness on any graph.
 
 DataFrame formulation per round: join the core table onto the symmetric
-edge list, rank each vertex's neighbor cores descending with a window, and
-take max(least(core, rank)) per vertex — the textbook h-index evaluated as
-one window + one aggregate. The changed-vertex count rides each round's
-materialization as an observed metric (one Spark job per round), and
-localCheckpoint truncates lineage, exactly as in the sibling loops.
+edge list, PRE-REDUCE the gather to ``(id, core, cnt)`` with a hash
+aggregate (map-side partials collapse a hub's 10^8 neighbor rows before
+they ever reach one reducer), then evaluate the h-index from the
+descending cumulative counts: h = max over distinct neighbor-core values v
+of min(v, #neighbors with core >= v). The window that computes the
+cumulative sum partitions by id over AT MOST ``distinct core values <=
+current max core`` rows per vertex — bounded by O(sqrt(E)) on any graph,
+independent of the power-law degree head — so no single task ever sorts a
+hub's full neighbor multiset (the skew hazard of the naive
+row_number-over-all-neighbors formulation this replaces). The
+changed-vertex count rides each round's materialization as an observed
+metric (one Spark job per round), and localCheckpoint truncates lineage,
+exactly as in the sibling loops.
 
-Scale note: the window partitions by vertex id, so its cost and skew follow
-the in-neighborhood sizes — the same power-law head the engine already
-handles in the PageRank aggregate. Round count is bounded by the graph's
-core depth (empirically O(10-100) on web graphs, far below the O(V) of
-sequential peeling). Tie order inside the window is irrelevant: the
-h-index of a multiset is invariant to the ordering of equal values, so the
-result is deterministic across engines and partitionings.
+Scale note: round count is bounded by the graph's core depth (empirically
+O(10-100) on web graphs, far below the O(V) of sequential peeling). The
+groupBy(id, core) pre-reduce is order-insensitive and the h-index of a
+multiset depends only on value counts, so the result is deterministic
+across engines and partitionings.
 """
 
 from __future__ import annotations
@@ -57,15 +63,25 @@ def coreness(edges: DataFrame, max_rounds: int = 100) -> CorenessResult:
     )
     rounds = 0
     converged = False
-    w = Window.partitionBy("id").orderBy(F.desc("core"))
+    # cumulative neighbor count from the largest core value downwards;
+    # partitions hold <= distinct-core-values rows per id (bounded, no
+    # hub skew), unlike a row_number over the raw neighbor multiset
+    w = (Window.partitionBy("id").orderBy(F.desc("core"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     for rounds in range(1, max_rounds + 1):
         neigh = sym.join(
             core.select(F.col("id").alias("dst"), "core"), "dst"
         ).select(F.col("src").alias("id"), "core")
+        # h-index from value counts: for each distinct neighbor-core v,
+        # cum = #neighbors with core >= v; h = max over v of min(v, cum).
+        # Equivalent to max(least(core, row_number)) on the sorted multiset
+        # (within a value group the max of least(v, rn) is least(v, cum)).
         hidx = (
-            neigh.withColumn("rn", F.row_number().over(w))
+            neigh.groupBy("id", "core")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
             .groupBy("id")
-            .agg(F.max(F.least(F.col("core"), F.col("rn"))).alias("new_core"))
+            .agg(F.max(F.least(F.col("core"), F.col("cum"))).alias("new_core"))
         )
         obs = Observation(f"coreness_round_{rounds}")
         new_core = (

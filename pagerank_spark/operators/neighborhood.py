@@ -209,7 +209,10 @@ def neighborhood_function_hll(
             rounds -= 1
             break
         prev_rsum = rsum
-        if counts[-1] - counts[-2] <= rel_tol * counts[-1]:
+        # registers are monotone, so a NEGATIVE delta is estimator noise
+        # (the linear-counting -> raw-estimator crossover can dip), not
+        # saturation — require the delta to be non-negative AND small
+        if 0.0 <= counts[-1] - counts[-2] <= rel_tol * counts[-1]:
             converged = True
             break
     sk.unpersist()
@@ -371,7 +374,9 @@ def harmonic_centrality_hll(
             converged = True
             rounds -= 1
             break
-        if n - prev_n <= rel_tol * n:
+        # same guard as the neighborhood function: estimator dips
+        # (negative delta) are noise, not convergence
+        if 0.0 <= n - prev_n <= rel_tol * n:
             prev_n, prev_rsum = n, rsum
             converged = True
             break

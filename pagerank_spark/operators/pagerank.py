@@ -214,6 +214,13 @@ def pagerank(
                 init_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
             ).withColumn("r0", F.coalesce("r0", F.lit(1.0 / n)))
             total = float(raw.agg(F.sum("r0")).first()[0])
+            # guard the Σ=1 renormalization: an all-zero, negative-sum, or
+            # NaN-polluted init vector would otherwise silently turn every
+            # rank into NaN/inf for the whole run
+            if not (math.isfinite(total) and total > 0.0):
+                raise ValueError(
+                    f"init_ranks must sum to a positive finite value over "
+                    f"the graph's vertices; got {total!r}")
             state = raw.select(
                 "id", (F.col("r0") / total).alias("rank"),
                 (F.col("r0") / total).alias("prev_rank"), "is_dangling")

@@ -16,9 +16,17 @@ seed, identical under any partitioning and expressible in ANSI SQL for
 the DuckDB oracle.
 
 Scale shape per hop: one frontier semi-join onto the edge table (the
-frontier is the small side — AQE broadcasts it) and one per-src window
-rank over ONLY the frontier's edges. Frontier size is bounded by the
-cumulative fanout product, not by graph degrees.
+frontier is the small side — AQE broadcasts it) and a TWO-LEVEL top-k
+over the frontier's edges — a partial top-``fanout`` inside
+``n_salts`` hash-salted slices of each src's adjacency, then the final
+top-``fanout`` over the ≤ n_salts·fanout survivors (the K2 salting
+discipline: a hub src is ranked by n_salts parallel tasks instead of one
+straggler sorting its whole adjacency; the partial keeps every global
+top-fanout candidate because dropping below-fanout rows WITHIN a slice
+can never drop a row that is top-fanout overall). The salt is a pure
+hash of dst, so the result is identical for any ``n_salts`` — the
+DuckDB oracle stays the plain single-window rank. Frontier size is
+bounded by the cumulative fanout product, not by graph degrees.
 """
 
 from __future__ import annotations
@@ -34,18 +42,23 @@ def sample_neighbors(
     seeds: DataFrame,
     fanouts: list[int],
     seed: int = 42,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Sampled k-hop expansion; returns ``(hop, src, dst)`` edge rows.
 
     ``seeds``: (id) DataFrame. Hop h (0-based) keeps at most
     ``fanouts[h]`` distinct out-edges per frontier vertex; the next
-    frontier is the distinct sampled destinations.
+    frontier is the distinct sampled destinations. ``n_salts`` splits
+    each src's adjacency for the partial top-k (plan knob only — the
+    output is invariant to it).
     """
     spark = edges.sparkSession
     if not fanouts:
         return spark.createDataFrame([], "hop int, src long, dst long")
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     frontier = seeds.select("id").distinct().localCheckpoint(eager=True)
+    w_partial = Window.partitionBy("src", "salt").orderBy("h", "dst")
+    w_final = Window.partitionBy("src").orderBy("h", "dst")
     out = []
     for hop, fanout in enumerate(fanouts):
         ranked = (
@@ -53,8 +66,12 @@ def sample_neighbors(
             .withColumn("h", shared_hash60(F.concat_ws(
                 ":", F.lit(str(hop)), F.col("src").cast("string"),
                 F.col("dst").cast("string"), F.lit(str(seed)))))
-            .withColumn("rk", F.row_number().over(
-                Window.partitionBy("src").orderBy("h", "dst")))
+            # two-level top-k: salted partial (hub adjacency split across
+            # n_salts tasks), then the exact rank over the survivors
+            .withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(n_salts)))
+            .withColumn("prk", F.row_number().over(w_partial))
+            .filter(F.col("prk") <= fanout)
+            .withColumn("rk", F.row_number().over(w_final))
             .filter(F.col("rk") <= fanout)
             .select(F.lit(hop).alias("hop"), "src", "dst")
             .localCheckpoint(eager=True)

@@ -42,14 +42,20 @@ from pyspark.sql import functions as F
 class SCCResult:
     labels: DataFrame          # (id long, scc long) — scc = min id in the SCC
     rounds: int                # outer peel rounds
-    converged: bool
+    converged: bool            # False => labels of still-active vertices are
+                               # NOT final (outer rounds or an inner hash-min
+                               # fixpoint ran out of budget) — do not consume
 
 
 def _minlabel_fixpoint(edges: DataFrame, verts: DataFrame, key: str,
-                       tag: str, max_rounds: int) -> DataFrame:
+                       tag: str, max_rounds: int) -> tuple[DataFrame, bool]:
     """Hash-min to fixpoint: label(v) = min id over {v} ∪ {u : u ~> v}
     where ~> follows ``key``='dst' edges forward (ancestors) or
-    ``key``='src' edges backward (descendants). Returns (id, label).
+    ``key``='src' edges backward (descendants). Returns
+    ``(labels (id, label), at_fixpoint)`` — ``at_fixpoint`` is False when
+    ``max_rounds`` ran out with labels still changing, i.e. the table is a
+    TRUNCATED reachability min, NOT a fixpoint, and must not be settled on
+    (a cycle longer than max_rounds would otherwise peel partial SCCs).
 
     Evaluated-and-rejected acceleration: a pointer-jump shortcut
     label(v) <- min(label(v), label(label(v))) (the doubling trick of
@@ -68,6 +74,7 @@ def _minlabel_fixpoint(edges: DataFrame, verts: DataFrame, key: str,
     other = "src" if key == "dst" else "dst"
     lab = verts.select("id", F.col("id").alias("label")) \
                .localCheckpoint(eager=True)
+    at_fixpoint = False
     for r in range(1, max_rounds + 1):
         gathered = (
             edges.join(lab.select(F.col("id").alias(other), "label"), other)
@@ -90,8 +97,9 @@ def _minlabel_fixpoint(edges: DataFrame, verts: DataFrame, key: str,
         lab.unpersist()
         lab = nxt
         if int(obs.get["changed"] or 0) == 0:
+            at_fixpoint = True
             break
-    return lab
+    return lab, at_fixpoint
 
 
 def strongly_connected_components(
@@ -157,7 +165,22 @@ def strongly_connected_components(
                                 "dst", f"f{rounds}", max_inner_rounds)
             b_fut = pool.submit(_minlabel_fixpoint, active_e, active_v,
                                 "src", f"b{rounds}", max_inner_rounds)
-            fwd, bwd = f_fut.result(), b_fut.result()
+            (fwd, f_ok), (bwd, b_ok) = f_fut.result(), b_fut.result()
+
+        if not (f_ok and b_ok):
+            # max_inner_rounds exhausted with labels still moving: the
+            # tables are truncated reachability minima, and settling on
+            # f==b there peels PARTIAL SCCs (e.g. a cycle longer than
+            # max_inner_rounds: its min-id vertex already has f==b==id
+            # while the far side does not — settling would break the
+            # cycle and mislabel the rest). No settle can happen this
+            # round and the active subgraph is unchanged, so re-running
+            # the outer loop would just repeat the truncation — surface
+            # converged=False so callers can't consume wrong labels.
+            fwd.unpersist()
+            bwd.unpersist()
+            converged = False
+            break
 
         # 4. settle f==b; peel
         pair = fwd.join(bwd.select("id", F.col("label").alias("blabel")), "id")

@@ -12,8 +12,11 @@ S3 — rank sink (/root/reference/kernel_bblock.cu:1097-1102): one rank per
 line, fixed 6-decimal precision, vertex-id order. The reference's single
 output file exists for parity; ``n_files`` spreads the sink at scale.
 
-All parsing is distributed (DataFrame ops over ``spark.read.text``); only
-the 2-token header line is resolved via a zipWithIndex pass, exactly once.
+All parsing is distributed and stays entirely inside the JVM: the header
+is read DRIVER-SIDE through the Hadoop FS API (an O(header-bytes) open of
+the file head — never a per-row Python pass over the body), and the body
+is a plain CSV scan whose comment/header options drop the non-data lines
+at the parser. ``plans.inspect.python_nodes`` on the result is empty.
 """
 
 from __future__ import annotations
@@ -22,25 +25,73 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _lines_with_index(spark: SparkSession, path: str) -> DataFrame:
-    """(line string, idx long) in file order."""
-    rdd = spark.sparkContext.textFile(path).zipWithIndex()
-    return spark.createDataFrame(rdd, schema="line string, idx long")
+def _head_lines(spark: SparkSession, path: str,
+                max_lines: int = 100_000) -> list[str]:
+    """Leading lines of ``path`` up to and including the first non-comment,
+    non-blank line (the size header), read driver-side via Hadoop FS —
+    works on any filesystem Spark can reach and costs O(header), not a
+    distributed job. Globs/directories resolve to their first file in
+    lexicographic order (shard 0 carries the header by convention)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None or len(statuses) == 0:
+        raise FileNotFoundError(path)
+    files = sorted((s.getPath() for s in statuses if s.isFile()),
+                   key=lambda p: p.toString())
+    if not files:
+        files = sorted(
+            (s.getPath() for s in fs.listStatus(statuses[0].getPath())
+             if s.isFile()),
+            key=lambda p: p.toString())
+        if not files:
+            raise FileNotFoundError(f"no files under {path}")
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(files[0]), "UTF-8"))
+    lines: list[str] = []
+    try:
+        for _ in range(max_lines):
+            ln = reader.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+            if ln.strip() and not ln.lstrip().startswith("%"):
+                break  # reached the size header — that's all we need
+    finally:
+        reader.close()
+    if not lines or not lines[-1].strip() or lines[-1].lstrip().startswith("%"):
+        raise ValueError(f"no size header found in {path}")
+    return lines
+
+
+def _body_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(line string) = the data lines of the file(s): ``%``-comment lines
+    and the first remaining line per file (the size header) are dropped
+    INSIDE the JVM CSV parser (``comment='%'`` + ``header=True``); the
+    ``\\x01`` delimiter never occurs in these formats, so each line lands
+    as one string column. No PythonRDD / SerializeFromObject in the plan
+    (pinned by tests via plans.inspect.python_nodes)."""
+    return (
+        spark.read
+        .option("comment", "%")
+        .option("header", True)
+        .option("delimiter", "\x01")
+        .option("quote", "")
+        .schema("line string")
+        .csv(path)
+        .filter(F.trim("line") != "")
+    )
 
 
 def read_edge_list(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """Reference S1 format -> (edges(src long, dst long) 0-indexed, n)."""
-    lines = _lines_with_index(spark, path).persist()
-    header = lines.filter(F.col("idx") == 0).select("line").first()[0]
+    header = next(ln for ln in _head_lines(spark, path) if ln.strip())
     n = int(header.split()[0])
     toks = F.split(F.trim("line"), r"\s+")
-    edges = (
-        lines.filter(F.col("idx") > 0)
-        .filter(F.trim("line") != "")
-        .select(
-            (toks.getItem(0).cast("long") - 1).alias("src"),
-            (toks.getItem(1).cast("long") - 1).alias("dst"),
-        )
+    edges = _body_lines(spark, path).select(
+        (toks.getItem(0).cast("long") - 1).alias("src"),
+        (toks.getItem(1).cast("long") - 1).alias("dst"),
     )
     return edges, n
 
@@ -62,12 +113,10 @@ def read_matrix_market(spark: SparkSession, path: str,
     to 1/out_degree. Default ``False`` = pattern semantics (the four main
     reference binaries, kernel_bblock.cu:613 derives w from out-degree).
     """
-    lines = _lines_with_index(spark, path).filter(F.trim("line") != "").persist()
-    banner = lines.filter(F.col("idx") == 0).first()
-    symmetric = banner is not None and "symmetric" in banner["line"].lower()
-    data = lines.filter(~F.col("line").startswith("%"))
-    header_idx = data.agg(F.min("idx")).first()[0]
-    header = data.filter(F.col("idx") == header_idx).first()["line"]
+    head = _head_lines(spark, path)
+    banner = next((ln for ln in head if ln.strip()), "")
+    symmetric = "symmetric" in banner.lower()
+    header = head[-1]  # first non-comment, non-blank line = size header
     n = int(header.split()[0])
     toks = F.split(F.trim("line"), r"\s+")
     cols = [
@@ -76,7 +125,7 @@ def read_matrix_market(spark: SparkSession, path: str,
     ]
     if values:
         cols.append(toks.getItem(2).cast("double").alias("w"))
-    edges = data.filter(F.col("idx") > header_idx).select(*cols)
+    edges = _body_lines(spark, path).select(*cols)
     if symmetric:
         back = edges.filter(F.col("src") != F.col("dst"))
         edges = edges.unionAll(back.select(

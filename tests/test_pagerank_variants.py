@@ -166,3 +166,19 @@ def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
     got_warm = {r.id: r.rank for r in warm.ranks.collect()}
     for i in range(n):
         assert got_warm[i] == pytest.approx(got_cold[i], abs=1e-7)
+
+
+@pytest.mark.parametrize("bad", ["zero", "negative", "nan"])
+def test_warm_start_rejects_degenerate_init(spark, bad):
+    """An all-zero, negative-sum, or NaN-polluted init vector must raise,
+    not silently renormalize the whole run into NaN/inf ranks."""
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+
+    g = build_graph(spark, spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"), n_vertices=3)
+    val = {"zero": 0.0, "negative": -1.0, "nan": float("nan")}[bad]
+    init = spark.createDataFrame([(i, val) for i in range(3)],
+                                 "id long, rank double")
+    with pytest.raises(ValueError, match="init_ranks"):
+        pagerank(g, max_iter=2, tol=None, init_ranks=init)

@@ -61,6 +61,19 @@ def test_sampling_partitioning_invariant(spark):
     assert a == b and len(a) > 4
 
 
+def test_sampling_salt_invariant(spark):
+    """n_salts is a physical-plan knob (two-level top-k); the sampled set
+    must be identical for any salt count, including the degenerate 1."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    want = sampling_oracle(EDGES, [0, 2], [3, 2], 7)
+    for s in (1, 4, 64):
+        got = {(r.hop, r.src, r.dst)
+               for r in sample_neighbors(e, seeds, [3, 2], seed=7,
+                                         n_salts=s).collect()}
+        assert got == want, f"n_salts={s}"
+
+
 def test_sampling_empty_fanouts_returns_empty_frame(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
     seeds = spark.createDataFrame([(0,)], "id long")

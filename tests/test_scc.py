@@ -55,3 +55,19 @@ def test_scc_self_loops_and_duplicates(spark):
     edges = [(0, 0), (0, 1), (0, 1), (1, 0), (2, 2)]
     got = _run(spark, edges, 3)
     assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_scc_inner_budget_exhaustion_is_not_silent(spark):
+    """A cycle longer than max_inner_rounds: the hash-min fixpoint is
+    truncated, so NO labels may be settled from it (settling would peel
+    the min-id vertex as a singleton and break the cycle). The result
+    must surface converged=False instead of wrong labels."""
+    cyc = 30
+    edges = [(i, (i + 1) % cyc) for i in range(cyc)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = strongly_connected_components(df, max_inner_rounds=5)
+    assert not res.converged
+    # with enough inner budget the same graph converges to one SCC
+    ok = strongly_connected_components(df, max_inner_rounds=cyc + 1)
+    assert ok.converged
+    assert {r.scc for r in ok.labels.collect()} == {0}

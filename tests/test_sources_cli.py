@@ -31,6 +31,21 @@ def test_read_edge_list_g6(spark, g6_file):
     assert got == sorted(synth.G6_EDGES)
 
 
+def test_read_edge_list_plan_is_jvm_only(spark, g6_file, tmp_path):
+    """The loaders must never route the body through per-row Python (the
+    old header-locating zipWithIndex pass): pin PythonRDD-free plans."""
+    from pagerank_spark.plans.inspect import python_nodes
+
+    edges, _ = read_edge_list(spark, g6_file)
+    assert python_nodes(edges) == []
+    content = "%%MatrixMarket matrix coordinate real general\n"
+    content += "3 3 2\n1 2 0.5\n2 3 1.5\n"
+    p = tmp_path / "w.mtx"
+    p.write_text(content)
+    medges, _ = read_matrix_market(spark, str(p), values=True)
+    assert python_nodes(medges) == []
+
+
 def test_read_matrix_market(spark, tmp_path):
     content = "%%MatrixMarket matrix coordinate pattern general\n% comment\n"
     content += f"6 6 {len(synth.G6_EDGES)}\n"
