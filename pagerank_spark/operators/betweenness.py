@@ -119,6 +119,10 @@ def betweenness(
         )
         deltas.append(d)
         delta_next = d
+        # level t+1 was consumed into d (eager checkpoint) and the
+        # backward walk only descends — release its cached blocks now
+        # instead of pinning every forward level until the pass ends
+        levels[t + 1].unpersist()
 
     if deltas:
         allv = deltas[0]

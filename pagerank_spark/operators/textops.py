@@ -188,7 +188,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    n_docs = docs.select(id_col).distinct().count()
+    # count_distinct folds into one aggregate job (partial distinct per
+    # partition + merge) — no materialized distinct-id exchange
+    n_docs = int(docs.agg(F.count_distinct(F.col(id_col))).first()[0])
     dt = doc_terms(docs, id_col, text_col).localCheckpoint(eager=True)
     stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = dt.join(stats.hint("shuffle_hash"), "term").select(
