@@ -14,7 +14,7 @@ and engines, so it can be value-hash-checked against a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -54,6 +54,65 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.col("m").cast("long").alias("m_edges"),
         (cov / F.sqrt(vx * vy)).alias("assortativity"),
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(id, nbr_cnt, nbr_deg_sum, avg_nbr_deg) per vertex with >= 1
+    out-edge: the mean OUT-degree of its distinct out-neighbors — the
+    per-vertex knn curve behind the assortativity scalar (Pastor-Satorras,
+    Vazquez & Vespignani, PRL 2001), read next to it when picking salting
+    thresholds.
+
+    Exact integers (count + BIGINT sum, order-independent) plus ONE final
+    division. Plan: one degree aggregate, one edges⋈degrees equi-join
+    (J1 shape, shuffle-hash), one per-src aggregate with map-side
+    partials — never more state than the PageRank contribution sum.
+    Dangling out-neighbors contribute degree 0 (they have no out-edges).
+    """
+    d = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct()
+         .localCheckpoint(eager=True))  # degree agg + join read one scan
+    deg = d.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d"))
+    return (
+        d.join(deg.withColumnRenamed("v", "dst").hint("shuffle_hash"),
+               "dst", "left")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("nbr_cnt"),
+             F.sum(F.coalesce("d", F.lit(0))).alias("nbr_deg_sum"))
+        .select("id", "nbr_cnt", "nbr_deg_sum",
+                (F.col("nbr_deg_sum") / F.col("nbr_cnt"))
+                .alias("avg_nbr_deg"))
+    )
+
+
+def degree_distribution(edges: DataFrame,
+                        universe: DataFrame | None = None) -> DataFrame:
+    """(deg, n_vertices, cum_ge) — the out-degree histogram plus the
+    descending cumulative count (#vertices with out-degree >= deg), i.e.
+    the integer CCDF a crawl operator reads to size salting thresholds
+    and spot the power-law head. ``universe`` adds zero-out-degree
+    (dangling) vertices to the deg=0 bucket.
+
+    All integers, no floats anywhere. The cumulative window runs over ONE
+    partition of AT MOST #distinct-degree-values rows (O(sqrt(E)) on any
+    graph — a few thousand at 10^12 edges), strictly after the V-scale
+    degree aggregate has collapsed the data; that single-task step is
+    deliberate and bounded, not a skew hazard.
+    """
+    deg = (edges.filter(F.col("src") != F.col("dst"))
+           .select("src", "dst").distinct()
+           .groupBy(F.col("src").alias("id"))
+           .agg(F.count(F.lit(1)).alias("deg")))
+    if universe is not None:
+        deg = (universe.select("id").distinct()
+               .join(deg, "id", "left")
+               .select("id", F.coalesce("deg", F.lit(0)).alias("deg")))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+    w = (Window.orderBy(F.desc("deg"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return hist.select("deg", "n_vertices",
+                       F.sum("n_vertices").over(w).alias("cum_ge"))
 
 
 def reciprocity(edges: DataFrame) -> DataFrame:

@@ -300,6 +300,86 @@ def harmonic_centrality_exact(
     return HarmonicResult(scores=scores, rounds=rounds, converged=converged)
 
 
+@dataclass
+class ClosenessResult:
+    # (id, n_reached long, dist_sum long, closeness double)
+    scores: DataFrame
+    rounds: int
+    converged: bool
+
+
+def closeness_centrality_exact(
+    edges: DataFrame,
+    max_t: int = 8,
+    universe: DataFrame | None = None,
+    direction: str = "in",
+) -> ClosenessResult:
+    """Wasserman-Faust closeness truncated at ``max_t`` hops:
+    c(v) = (n_reached / (n - 1)) · (n_reached / dist_sum), the reach-scaled
+    form that stays comparable across disconnected components (Wasserman &
+    Faust 1994; the convention NetworkX ships as ``closeness_centrality``).
+
+    Same truncated-BFS growth as ``harmonic_centrality_exact`` (per hop:
+    one gather join + anti-join against the reached set — the J1 shuffle
+    shape), but the per-round first-reach counts accumulate the two
+    EXACT integers (#reached, Σ distance) and the single double division
+    happens once per vertex at the end, so the result value-hash matches
+    any engine computing the same expression. ``direction='in'`` grows
+    balls over reversed edges (who can reach v — the classic centrality);
+    ``'out'`` measures v's reach."""
+    e = _directed(edges, direction).localCheckpoint(eager=True)
+    verts = _verts(e, universe).localCheckpoint(eager=True)
+    n_minus_1 = float(verts.count() - 1)
+
+    reach = verts.select("id", F.col("id").alias("r")) \
+                 .localCheckpoint(eager=True)
+    fresh_counts = []          # per-round (id, cnt, t*cnt) contributions
+    keep = []
+    rounds, converged = 0, False
+    for rounds in range(1, max_t + 1):
+        grown = (e.join(reach.select(F.col("id").alias("dst"), "r"), "dst")
+                 .select(F.col("src").alias("id"), "r").distinct())
+        obs = Observation(f"cc_exact_{rounds}")
+        fresh = (grown.join(reach, ["id", "r"], "left_anti")
+                 .observe(obs, F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
+        if int(obs.get["n"] or 0) == 0:
+            fresh.unpersist()
+            rounds -= 1
+            converged = True
+            break
+        keep.append(fresh)
+        cnt = F.count(F.lit(1))
+        fresh_counts.append(
+            fresh.groupBy("id").agg(cnt.alias("c"),
+                                    (cnt * F.lit(rounds)).alias("d")))
+        nxt = reach.unionAll(fresh).localCheckpoint(eager=True)
+        reach.unpersist()
+        reach = nxt
+    spark = verts.sparkSession
+    if fresh_counts:
+        allc = fresh_counts[0]
+        for fc in fresh_counts[1:]:
+            allc = allc.unionAll(fc)
+        sums = allc.groupBy("id").agg(F.sum("c").alias("n_reached"),
+                                      F.sum("d").alias("dist_sum"))
+    else:
+        sums = spark.createDataFrame([], "id long, n_reached long, dist_sum long")
+    nr = F.coalesce("n_reached", F.lit(0)).cast("long")
+    ds = F.coalesce("dist_sum", F.lit(0)).cast("long")
+    closeness = F.when(
+        ds > 0,
+        (nr / F.lit(n_minus_1)) * (nr / ds)).otherwise(F.lit(0.0))
+    scores = (verts.join(sums, "id", "left")
+              .select("id", nr.alias("n_reached"), ds.alias("dist_sum"),
+                      closeness.alias("closeness"))
+              .localCheckpoint(eager=True))
+    reach.unpersist()
+    for df in keep:
+        df.unpersist()
+    return ClosenessResult(scores=scores, rounds=rounds, converged=converged)
+
+
 def harmonic_centrality_hll(
     edges: DataFrame,
     max_t: int = 64,
