@@ -290,8 +290,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=LP_ROUNDS).labels
 
 
-def _labelprop_oracle_sql(rounds: int) -> str:
-    """Unrolled synchronous LP: most-frequent neighbor label, ties -> min."""
+def _labelprop_parts(rounds: int) -> list[str]:
+    """CTE chain of the unrolled synchronous LP (shared by the plain LP
+    oracle and the modularity-of-LP oracle); final labels in l{rounds}."""
     parts = [_E_SQL, _U_SQL, _S_SQL, _SYM_SQL,
              "l0 AS (SELECT id, id AS label FROM u)"]
     for k in range(1, rounds + 1):
@@ -308,7 +309,13 @@ def _labelprop_oracle_sql(rounds: int) -> str:
         parts.append(
             f"l{k} AS (SELECT l.id, coalesce(b.new_label, l.label) AS label "
             f"FROM l{p} l LEFT JOIN b{k} b ON b.id = l.id)")
-    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+    return parts
+
+
+def _labelprop_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous LP: most-frequent neighbor label, ties -> min."""
+    return ("WITH " + ",\n".join(_labelprop_parts(rounds))
+            + f"\nSELECT id, label FROM l{rounds}")
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1073,256 @@ GROUP BY ts.t
 
 
 # ---------------------------------------------------------------------------
+# round-3 structural additions: closeness, modularity, truss, co-citation,
+# degree statistics, streaming edge ingest
+# ---------------------------------------------------------------------------
+
+CLOSENESS_T = 3       # truncation (same hop budget as the harmonic oracle)
+KTRUSS_K = 4          # support >= 2 within the surviving subgraph
+KTRUSS_ORACLE_ROUNDS = 14   # > the 11-round fixpoint at sf0.01; extra no-op
+COCITE_CAP = 64       # middle-degree cap (exercises the pruning path)
+COCITE_K = 25         # global top-k pairs
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Wasserman-Faust closeness (operators/neighborhood.py):
+    exact integer (n_reached, dist_sum) within CLOSENESS_T hops over
+    reversed edges, one final double division."""
+    from pagerank_spark.operators.neighborhood import closeness_centrality_exact
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    res = closeness_centrality_exact(e, max_t=CLOSENESS_T, universe=uni,
+                                     direction="in")
+    return res.scores.select("id", "n_reached", "dist_sum",
+                             F.round("closeness", 6).alias("closeness"))
+
+
+def _closeness_oracle_sql(t_max: int) -> str:
+    return f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL},
+ud AS (SELECT DISTINCT id FROM u),
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+walk(a, b, t) AS (
+    SELECT id, id, 0 FROM ud
+    UNION
+    SELECT w.a, d.src, w.t + 1 FROM walk w JOIN d ON d.dst = w.b
+    WHERE w.t < {t_max}
+),
+md AS (SELECT a, b, min(t) AS t FROM walk GROUP BY a, b),
+agg AS (SELECT a, count(*) AS nr, sum(t) AS ds FROM md WHERE t > 0 GROUP BY a),
+nv AS (SELECT count(*) AS n FROM ud)
+SELECT ud.id,
+       CAST(coalesce(agg.nr, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(agg.ds, 0) AS BIGINT) AS dist_sum,
+       round(CASE WHEN coalesce(agg.ds, 0) > 0
+             THEN (CAST(agg.nr AS DOUBLE)
+                   / CAST((SELECT n FROM nv) - 1 AS DOUBLE))
+                  * (CAST(agg.nr AS DOUBLE) / CAST(agg.ds AS DOUBLE))
+             ELSE 0.0 END, 6) AS closeness
+FROM ud LEFT JOIN agg ON agg.a = ud.id"""
+
+
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (operators/community.py) of the
+    LP_ROUNDS-round label-propagation partition — the quality gate a
+    pipeline runs after community detection."""
+    from pagerank_spark.operators.community import modularity
+    from pagerank_spark.operators.labelprop import label_propagation
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(
+        _edges(spark, sf_dir), universe=g.vertices.select("id"),
+        max_rounds=LP_ROUNDS).labels
+    res = modularity(_edges(spark, sf_dir), labels)
+    return res.select("m_edges", "intra_edges",
+                      F.round("modularity", 6).alias("modularity"))
+
+
+def _lpa_modularity_oracle_sql(rounds: int) -> str:
+    """LP chain + exact-integer modularity (Σ sums as HUGEINT, one final
+    double expression with the engine's exact shape)."""
+    parts = _labelprop_parts(rounds) + [
+        f"lab AS (SELECT id, label FROM l{rounds})",
+        "dg AS (SELECT id, count(*) AS d FROM "
+        "(SELECT a AS id FROM s UNION ALL SELECT b FROM s) GROUP BY id)",
+        "mi AS (SELECT count(*) AS m, "
+        "CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS intra FROM s JOIN lab la ON la.id = s.a "
+        "JOIN lab lb ON lb.id = s.b)",
+        "dcs AS (SELECT coalesce(l.label, dg.id) AS label, sum(dg.d) AS dc "
+        "FROM dg LEFT JOIN lab l ON l.id = dg.id GROUP BY 1)",
+        "dc2 AS (SELECT sum(dc * dc) AS v FROM dcs)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT mi.m AS m_edges, mi.intra AS intra_edges,
+       round(CAST(mi.intra AS DOUBLE) / CAST(mi.m AS DOUBLE)
+             - CAST(dc2.v AS DOUBLE)
+               / ((4.0 * CAST(mi.m AS DOUBLE)) * CAST(mi.m AS DOUBLE)), 6)
+       AS modularity
+FROM mi, dc2""")
+
+
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (operators/truss.py) — the k-truss
+    building block, oracle-checked exactly."""
+    from pagerank_spark.operators.truss import edge_support
+    return edge_support(_edges(spark, sf_dir))
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH {_E_SQL}, {_S_SQL},
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM s e1 JOIN s e2 ON e2.a = e1.b
+        JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+sides AS (SELECT x AS a, y AS b FROM tri
+          UNION ALL SELECT y, z FROM tri
+          UNION ALL SELECT x, z FROM tri),
+cnt AS (SELECT a, b, count(*) AS c FROM sides GROUP BY a, b)
+SELECT s.a, s.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS support
+FROM s LEFT JOIN cnt ON cnt.a = s.a AND cnt.b = s.b
+"""
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edges (peel to fixpoint; the oracle unrolls
+    KTRUSS_ORACLE_ROUNDS rounds, extra rounds past the fixpoint no-op)."""
+    from pagerank_spark.operators.truss import k_truss
+    res = k_truss(_edges(spark, sf_dir), k=KTRUSS_K)
+    return res.edges
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """MATERIALIZED per-round CTEs: each t{r} references t{r-1} three
+    times, so un-materialized chains inline the base scan 3^rounds times
+    (DuckDB then dies on file handles; same fix as the betweenness
+    oracle)."""
+    parts = [_E_SQL, _S_SQL, "t0 AS MATERIALIZED (SELECT a, b FROM s)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM t{p} e1 JOIN t{p} e2 ON e2.a = e1.b "
+            f"JOIN t{p} e3 ON e3.a = e1.a AND e3.b = e2.b)")
+        parts.append(
+            f"cnt{r} AS MATERIALIZED (SELECT a, b, count(*) AS c FROM ("
+            f"SELECT x AS a, y AS b FROM tri{r} "
+            f"UNION ALL SELECT y, z FROM tri{r} "
+            f"UNION ALL SELECT x, z FROM tri{r}) GROUP BY a, b)")
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT t.a, t.b FROM t{p} t "
+            f"LEFT JOIN cnt{r} c ON c.a = t.a AND c.b = t.b "
+            f"WHERE coalesce(c.c, 0) >= {k - 2})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT a, b FROM t{rounds}")
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-cited pairs (operators/cocitation.py), citing-page
+    out-degree capped at COCITE_CAP."""
+    from pagerank_spark.operators.cocitation import cocitation_topk
+    return cocitation_topk(_edges(spark, sf_dir), top_k=COCITE_K,
+                           max_degree=COCITE_CAP)
+
+
+def q_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bibliographically coupled pairs, cited-page in-degree capped."""
+    from pagerank_spark.operators.cocitation import coupling_topk
+    return coupling_topk(_edges(spark, sf_dir), top_k=COCITE_K,
+                         max_degree=COCITE_CAP)
+
+
+def _pairs_oracle_sql(middle: str, leaf: str, cap: int, k: int) -> str:
+    return f"""
+WITH {_E_SQL},
+dd AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+md AS (SELECT {middle}, count(*) AS c FROM dd GROUP BY {middle}),
+ok AS (SELECT {middle} FROM md WHERE c <= {cap}),
+p AS (SELECT x.{leaf} AS a, y.{leaf} AS b
+      FROM dd x JOIN dd y ON y.{middle} = x.{middle} AND y.{leaf} > x.{leaf}
+      JOIN ok ON ok.{middle} = x.{middle}),
+c AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b)
+SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT {k}
+"""
+
+
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex mean out-degree of distinct out-neighbors
+    (operators/graphstats.py) — exact integer sums + one division."""
+    from pagerank_spark.operators.graphstats import avg_neighbor_degree
+    return avg_neighbor_degree(_edges(spark, sf_dir)).select(
+        "id", "nbr_cnt", "nbr_deg_sum",
+        F.round("avg_nbr_deg", 6).alias("avg_nbr_deg"))
+
+
+SQL_AVG_NEIGHBOR_DEGREE = f"""
+WITH {_E_SQL},
+dd AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+dg AS (SELECT src AS v, count(*) AS d FROM dd GROUP BY src)
+SELECT dd.src AS id, count(*) AS nbr_cnt,
+       CAST(sum(coalesce(dg.d, 0)) AS BIGINT) AS nbr_deg_sum,
+       round(CAST(sum(coalesce(dg.d, 0)) AS BIGINT) / count(*), 6)
+           AS avg_nbr_deg
+FROM dd LEFT JOIN dg ON dg.v = dd.dst
+GROUP BY dd.src
+"""
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram + integer CCDF (operators/graphstats.py) over
+    the full vertex universe (danglers in the deg=0 bucket)."""
+    from pagerank_spark.operators.graphstats import degree_distribution
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    return degree_distribution(e, universe=uni)
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH {_E_SQL}, {_U_SQL},
+dd AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+dg AS (SELECT src AS id, count(*) AS c FROM dd GROUP BY src),
+degs AS (SELECT u.id, coalesce(dg.c, 0) AS deg
+         FROM u LEFT JOIN dg ON dg.id = u.id),
+hist AS (SELECT deg, count(*) AS n_vertices FROM degs GROUP BY deg)
+SELECT deg, n_vertices,
+       CAST(sum(n_vertices) OVER (ORDER BY deg DESC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ge
+FROM hist
+"""
+
+
+def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming link ingestion (streaming/ingest.py): synth pages land in
+    two micro-batches, outlinks extracted per batch with the shared pandas
+    UDF, appended to an edge log, compacted to latest-crawl edges.
+    Rows-only (the HTML extraction UDF is not SQL-expressible — same
+    status as pagerank_webgraph_e2e / anchor_text_index)."""
+    import shutil
+    import tempfile
+
+    from pagerank_spark.sources.synth import synth_pages
+    from pagerank_spark.streaming.ingest import (compact_edges, ingest_edges,
+                                                 stream_pages)
+    d = tempfile.mkdtemp(prefix="stream_ingest_")
+    try:
+        pages = synth_pages(spark, n_pages=500).localCheckpoint(eager=True)
+        land = f"{d}/landing"
+        pages.filter("xxhash64(url) % 2 = 0").coalesce(1) \
+             .write.mode("append").parquet(land)
+        pages.filter("xxhash64(url) % 2 != 0").coalesce(1) \
+             .write.mode("append").parquet(land)
+        q = ingest_edges(stream_pages(spark, land, max_files_per_trigger=1),
+                         out_dir=f"{d}/edges", checkpoint_dir=f"{d}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        return (compact_edges(spark, f"{d}/edges")
+                .orderBy("src_url", "dst_url")
+                .localCheckpoint(eager=True))   # materialize before rmtree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.4-2.5: joins, aggs, windows, sort/limit,
 # set ops, distinct aggregates) — DECIMAL-exact money sums
 # ---------------------------------------------------------------------------
@@ -1817,6 +2074,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "multimodal_features": q_multimodal_features,
+        "closeness_centrality": q_closeness_centrality,
+        "lpa_modularity": q_lpa_modularity,
+        "edge_support": q_edge_support,
+        "k_truss": q_k_truss,
+        "cocitation": q_cocitation,
+        "coupling": q_coupling,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "degree_distribution": q_degree_distribution,
+        "streaming_edge_ingest": q_streaming_edge_ingest,
     }
 
 
@@ -1880,7 +2146,16 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_rollup": SQL_EVENTS_HOURLY,
         # converged run = fixed unroll at the (deterministic) sf0.01 stop depth
         "pagerank_converged": _pagerank_oracle_sql(CONVERGED_ITERS_SF001),
+        "closeness_centrality": _closeness_oracle_sql(CLOSENESS_T),
+        "lpa_modularity": _lpa_modularity_oracle_sql(LP_ROUNDS),
+        "edge_support": SQL_EDGE_SUPPORT,
+        "k_truss": _ktruss_oracle_sql(KTRUSS_K, KTRUSS_ORACLE_ROUNDS),
+        "cocitation": _pairs_oracle_sql("src", "dst", COCITE_CAP, COCITE_K),
+        "coupling": _pairs_oracle_sql("dst", "src", COCITE_CAP, COCITE_K),
+        "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
+        "degree_distribution": SQL_DEGREE_DISTRIBUTION,
         # rows-only (non-SQL-expressible):
         # pagerank_webgraph_e2e (pandas-UDF link extraction),
-        # multimodal_features (mapInPandas media decode)
+        # multimodal_features (mapInPandas media decode),
+        # streaming_edge_ingest (same pandas-UDF extraction, streamed)
     }
