@@ -119,6 +119,25 @@ def main() -> None:
     timed("graph_contraction", lambda: noop(contract_graph(
         edges, g.vertices.select("id", (F.col("id") % 4096).alias("gid")))))
 
+    # -- round-3 structural ops
+    from pagerank_spark.operators.cocitation import cocitation_topk
+    from pagerank_spark.operators.community import modularity
+    from pagerank_spark.operators.graphstats import (avg_neighbor_degree,
+                                                     degree_distribution)
+    from pagerank_spark.operators.neighborhood import closeness_centrality_exact
+    from pagerank_spark.operators.truss import edge_support, k_truss
+    timed("edge_support", lambda: noop(edge_support(edges)))
+    timed("k_truss_4", lambda: noop(k_truss(edges, k=4).edges))
+    timed("closeness_3h",
+          lambda: noop(closeness_centrality_exact(edges, max_t=3).scores))
+    timed("lpa_modularity", lambda: noop(modularity(
+        edges, label_propagation(edges, max_rounds=3).labels)))
+    timed("cocitation_top25",
+          lambda: noop(cocitation_topk(edges, top_k=25, max_degree=64)))
+    timed("avg_neighbor_degree", lambda: noop(avg_neighbor_degree(edges)))
+    timed("degree_distribution", lambda: noop(degree_distribution(
+        edges, universe=g.vertices.select("id"))))
+
     # -- webtext ingestion: pandas-UDF anchor extraction + aggregation
     from pagerank_spark.operators.anchors import anchor_text_index
     from pagerank_spark.sources.synth import synth_pages
