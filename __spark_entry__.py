@@ -1291,6 +1291,72 @@ FROM hist
 """
 
 
+PPR_BATCH_SETS = ((0, 0, 8), (1, 8, 16))   # (sid, lo, hi) id-range seeds
+
+
+def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank (operators/ppr_batch.py): two seed sets
+    advance through PR_ITERS shared supersteps — one edges⋈state gather
+    per superstep for the whole batch."""
+    from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch
+    g = _graph(spark, sf_dir)
+    rows = []
+    for sid, lo, hi in PPR_BATCH_SETS:
+        rows.append(g.vertices.filter((F.col("id") >= lo) & (F.col("id") < hi))
+                    .select(F.lit(sid).alias("sid"), "id",
+                            F.lit(1.0).alias("p")))
+    seeds = rows[0]
+    for r in rows[1:]:
+        seeds = seeds.unionByName(r)
+    res = personalized_pagerank_batch(g, seeds, alpha=ALPHA,
+                                      iterations=PR_ITERS)
+    n = float(g.n_vertices)
+    return res.select("sid", "id",
+                      F.round(F.col("rank") * F.lit(n), 6).alias("rank_n"))
+
+
+def _ppr_batch_oracle_sql(iters: int) -> str:
+    """Unrolled batch PPR keyed (sid, id); expression shapes mirror
+    ppr_batch.py exactly. MATERIALIZED r{k}: each round references the
+    previous state three times (mass, gather, reattach)."""
+    sd_union = " UNION ALL ".join(
+        f"SELECT {sid} AS sid, id FROM u WHERE id >= {lo} AND id < {hi}"
+        for sid, lo, hi in PPR_BATCH_SETS)
+    parts = [
+        _E_SQL, _U_SQL, _OD_SQL,
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
+        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
+        f"sd AS MATERIALIZED ({sd_union})",
+        "sk AS (SELECT sid, CAST(count(*) AS DOUBLE) AS k FROM sd GROUP BY sid)",
+        "tp AS MATERIALIZED (SELECT sd.sid, sd.id, 1.0 / sk.k AS p "
+        "FROM sd JOIN sk ON sk.sid = sd.sid)",
+        "sids AS (SELECT DISTINCT sid FROM sd)",
+        "r0 AS MATERIALIZED (SELECT s.sid, u.id, "
+        "1.0 / (SELECT n FROM nv) AS rank, coalesce(tp.p, 0.0) AS p "
+        "FROM sids s CROSS JOIN u "
+        "LEFT JOIN tp ON tp.sid = s.sid AND tp.id = u.id)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"m{k} AS (SELECT r.sid, coalesce(sum(r.rank), 0.0) AS mass "
+            f"FROM r{p} r JOIN dang d ON d.id = r.id GROUP BY r.sid)")
+        parts.append(
+            f"c{k} AS (SELECT r.sid, we.dst AS id, sum(r.rank * we.w) AS c "
+            f"FROM we JOIN r{p} r ON r.id = we.src GROUP BY r.sid, we.dst)")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT r.sid, r.id, "
+            f"{ALPHA} * coalesce(c.c, 0.0) "
+            f"+ ({ALPHA} * coalesce(m.mass, 0.0) + {1.0 - ALPHA}) * r.p "
+            f"AS rank, r.p "
+            f"FROM r{p} r LEFT JOIN c{k} c ON c.sid = r.sid AND c.id = r.id "
+            f"LEFT JOIN m{k} m ON m.sid = r.sid)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT sid, id, round(rank * (SELECT n FROM nv), 6) AS rank_n
+FROM r{iters}""")
+
+
 def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming link ingestion (streaming/ingest.py): synth pages land in
     two micro-batches, outlinks extracted per batch with the shared pandas
@@ -2082,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling": q_coupling,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "degree_distribution": q_degree_distribution,
+        "ppr_batch": q_ppr_batch,
         "streaming_edge_ingest": q_streaming_edge_ingest,
     }
 
@@ -2154,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "coupling": _pairs_oracle_sql("dst", "src", COCITE_CAP, COCITE_K),
         "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
         "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+        "ppr_batch": _ppr_batch_oracle_sql(PR_ITERS),
         # rows-only (non-SQL-expressible):
         # pagerank_webgraph_e2e (pandas-UDF link extraction),
         # multimodal_features (mapInPandas media decode),

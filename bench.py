@@ -137,6 +137,11 @@ def main() -> None:
     timed("avg_neighbor_degree", lambda: noop(avg_neighbor_degree(edges)))
     timed("degree_distribution", lambda: noop(degree_distribution(
         edges, universe=g.vertices.select("id"))))
+    from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch
+    timed("ppr_batch_4x3iter", lambda: noop(personalized_pagerank_batch(
+        g, g.vertices.filter(F.col("id") < 64).select(
+            (F.col("id") % 4).alias("sid"), "id", F.lit(1.0).alias("p")),
+        iterations=3)))
 
     # -- webtext ingestion: pandas-UDF anchor extraction + aggregation
     from pagerank_spark.operators.anchors import anchor_text_index
