@@ -465,6 +465,102 @@ def harmonic_centrality_hll(
     return HarmonicResult(scores=scores, rounds=rounds, converged=converged)
 
 
+def closeness_centrality_hll(
+    edges: DataFrame,
+    max_t: int = 64,
+    b: int = 6,
+    universe: DataFrame | None = None,
+    direction: str = "in",
+    rel_tol: float = 1e-4,
+) -> ClosenessResult:
+    """HyperANF-style closeness — the 10^12-edge scale path of
+    ``closeness_centrality_exact`` (whose pair-table state is O(V·B(t))).
+
+    Same loop as ``harmonic_centrality_hll`` but the per-hop ball GROWTH
+    Δ_t = max(|B(v,t)| − |B(v,t−1)|, 0) accumulates two running per-vertex
+    sums: n_reached ≈ Σ_t Δ_t and dist_sum ≈ Σ_t t·Δ_t, from which the
+    Wasserman-Faust closeness (n/(N−1))·(n/dist_sum) is one final per-row
+    expression. Sketch state O(V·2^b); each hop is one edges⋈sketch join +
+    per-register max aggregate (the J1/A2 shape). Deterministic: all
+    per-vertex arithmetic is per-row over the keyed-MAX-extracted running
+    pair, so repeated runs agree bit-for-bit."""
+    if not 4 <= b <= 10:
+        raise ValueError(f"b must be in [4, 10], got {b}")
+    m = 1 << b
+    e = _directed(edges, direction)
+    verts = _verts(e, universe)
+    n_minus_1 = float(verts.count() - 1)
+    e2 = e.unionAll(verts.select(F.col("id").alias("src"),
+                                 F.col("id").alias("dst"))) \
+          .localCheckpoint(eager=True)
+
+    h = F.xxhash64(F.col("id"))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(64 - b + 1)).otherwise(
+        (F.log2((w.bitwiseAND(-w)).cast("double")) + 1.0).cast("int"))
+    j = h.bitwiseAND(m - 1).cast("int")
+    est = _estimate_expr(m)
+    sk = (verts.select(
+            "id",
+            F.array(*[F.when(F.lit(i) == j, rho).otherwise(0).cast("tinyint")
+                      for i in range(m)]).alias("regs"))
+          .select("id", "regs", est.alias("pest"),
+                  F.lit(0.0).alias("nr"), F.lit(0.0).alias("ds"))
+          .localCheckpoint(eager=True))
+
+    reg_sum = F.sum(F.aggregate(F.col("regs"), F.lit(0).cast("long"),
+                                lambda acc, x: acc + x)).alias("rsum")
+    dec_est = est.cast("decimal(30,8)")
+    first = sk.select(F.sum(dec_est).alias("n"), reg_sum).first()
+    prev_n, prev_rsum = float(first["n"]), int(first["rsum"])
+    rounds, converged = 0, False
+    self_row = F.col("dst") == F.col("src")
+    for rounds in range(1, max_t + 1):
+        obs = Observation(f"cc_hll_{rounds}")
+        grow = F.greatest(est - F.col("pest0"), F.lit(0.0))
+        nxt = (
+            e2.join(sk.select(F.col("id").alias("dst"), "regs",
+                              "pest", "nr", "ds"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(m)],
+                 F.max(F.when(self_row, F.col("pest"))).alias("_pest"),
+                 F.max(F.when(self_row, F.col("nr"))).alias("_nr"),
+                 F.max(F.when(self_row, F.col("ds"))).alias("_ds"))
+            .select("id",
+                    F.array(*[F.col(f"_r{i}") for i in range(m)])
+                    .alias("regs"),
+                    F.col("_pest").alias("pest0"), F.col("_nr").alias("nr0"),
+                    F.col("_ds").alias("ds0"))
+            .select("id", "regs", est.alias("pest"),
+                    (F.col("nr0") + grow).alias("nr"),
+                    (F.col("ds0") + grow * F.lit(float(rounds))).alias("ds"))
+            .observe(obs, F.sum(dec_est).alias("n"), reg_sum)
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        sk.unpersist()
+        sk = nxt
+        n, rsum = float(got["n"]), int(got["rsum"])
+        if rsum == prev_rsum:
+            converged = True
+            rounds -= 1
+            break
+        # estimator dips (negative delta) are noise, not convergence
+        if 0.0 <= n - prev_n <= rel_tol * n:
+            prev_n, prev_rsum = n, rsum
+            converged = True
+            break
+        prev_n, prev_rsum = n, rsum
+    closeness = F.when(
+        F.col("ds") > 0,
+        (F.col("nr") / F.lit(n_minus_1)) * (F.col("nr") / F.col("ds"))
+    ).otherwise(F.lit(0.0))
+    scores = sk.select("id", F.col("nr").alias("n_reached_est"),
+                       F.col("ds").alias("dist_sum_est"),
+                       closeness.alias("closeness"))
+    return ClosenessResult(scores=scores, rounds=rounds, converged=converged)
+
+
 def distance_stats(counts: list[float], alpha: float = 0.9) -> dict:
     """Effective diameter (interpolated, Boldi-Vigna convention) and mean
     finite-pair distance from a neighborhood function N(0..T)."""

@@ -151,3 +151,29 @@ def test_harmonic_bad_direction(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         harmonic_centrality_exact(df, direction="sideways")
+
+
+def test_closeness_hll_tracks_exact(spark):
+    """Aggregate HLL (n_reached, dist_sum) mass within estimator error of
+    the exact totals; per-vertex scores deterministic across runs."""
+    from pagerank_spark.operators.neighborhood import (
+        closeness_centrality_exact, closeness_centrality_hll)
+    n, m = 150, 600
+    edges = _random_edges(n, m, 84)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ex = closeness_centrality_exact(df, max_t=12, universe=spark.range(n))
+    ap = closeness_centrality_hll(df, max_t=32, b=6, universe=spark.range(n))
+    assert ap.converged
+    ex_rows = ex.scores.collect()
+    got = {r.id: (r.n_reached_est, r.dist_sum_est, r.closeness)
+           for r in ap.scores.collect()}
+    tot_nr_ex = sum(r.n_reached for r in ex_rows)
+    tot_ds_ex = sum(r.dist_sum for r in ex_rows)
+    tot_nr_ap = sum(v[0] for v in got.values())
+    tot_ds_ap = sum(v[1] for v in got.values())
+    assert abs(tot_nr_ap - tot_nr_ex) / tot_nr_ex < 0.3
+    assert abs(tot_ds_ap - tot_ds_ex) / tot_ds_ex < 0.3
+    again = {r.id: (r.n_reached_est, r.dist_sum_est, r.closeness)
+             for r in closeness_centrality_hll(
+                 df, max_t=32, b=6, universe=spark.range(n)).scores.collect()}
+    assert got == again
