@@ -146,14 +146,19 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle_sql(iters: int, p_sql: str | None = None,
-                         weighted: bool = False) -> str:
+                         weighted: bool = False,
+                         base_parts: list[str] | None = None,
+                         final_sql: str | None = None) -> str:
     """Unrolled power iteration, Σ=1 internal / Σ=n output, exactly the
     semantics of operators/pagerank.py (mass -> remain -> contrib -> axpy).
     ``p_sql``: per-vertex teleport expression over column ``id`` (Σ must be
     1); None = uniform 1/n. ``weighted``: transition weights |w|/rowsum
     from an explicit l_quantity edge weight (the P9 lightSpMV path,
     PageRank.h:256-274) instead of 1/out_degree; l_quantity sums are
-    integer-valued doubles, so both engines accumulate them exactly."""
+    integer-valued doubles, so both engines accumulate them exactly.
+    ``base_parts``: override the e/u/od source CTEs (default: the derived
+    lineitem graph); ``final_sql``: override the final projection over
+    r{iters} (default: (id, rank_n))."""
     if weighted:
         we_parts = [
             f"ew AS (SELECT l_partkey % {MOD} AS src, l_orderkey % {MOD} AS dst, "
@@ -167,7 +172,7 @@ def _pagerank_oracle_sql(iters: int, p_sql: str | None = None,
             "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
         ]
     parts = [
-        _E_SQL, _U_SQL, _OD_SQL,
+        *(base_parts if base_parts is not None else [_E_SQL, _U_SQL, _OD_SQL]),
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)",
         *we_parts,
         "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
@@ -193,8 +198,9 @@ def _pagerank_oracle_sql(iters: int, p_sql: str | None = None,
             f"r{k} AS (SELECT u.id, {ALPHA} * coalesce(c{k}.c, 0.0) "
             f"+ {remain} AS rank "
             f"FROM u LEFT JOIN c{k} ON c{k}.id = u.id)")
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT id, round(rank * (SELECT n FROM nv), 6) AS rank_n FROM r{iters}")
+    final = final_sql if final_sql is not None else (
+        f"SELECT id, round(rank * (SELECT n FROM nv), 6) AS rank_n FROM r{iters}")
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 PPR_SEEDS = 16  # teleport concentrated uniformly on ids < 16
@@ -245,17 +251,58 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round(F.col("rank") * g.n_vertices, 6).alias("rank_n"))
 
 
+WEBGRAPH_PAGES = 2000  # F1 fixture size for the e2e driver queries
+
+# index -> url, the formulaic inverse of sources/synth.url_of (n_sites=97)
+_URL_OF_SQL = "printf('https://site%d.example/page%d', id % 97, id)"
+
+
+def _webgraph_base_parts(n_pages: int) -> list[str]:
+    """e/u/od CTEs for the F1 synthetic crawl in page-INDEX space.
+
+    The expected edge list is unrolled driver-side from the same pure
+    generative rule (sources/synth.outlink_ids) that the HTML embeds, as a
+    VALUES literal — so the oracle checks that the pandas-UDF extraction
+    recovers EXACTLY the links written into the pages, with multiplicity
+    (duplicate targets are separate VALUES rows, matching build_graph's
+    multiplicity-counting degrees). All targets are <= their source index,
+    so the vertex universe is exactly range(n_pages); PageRank is
+    id-label-invariant, so iterating in index space and emitting url_of(id)
+    at the end equals the engine's url-keyed output."""
+    from pagerank_spark.sources.synth import outlink_ids
+    vals = ", ".join(f"({i},{j})"
+                     for i in range(n_pages) for j in outlink_ids(i))
+    return [
+        f"e(src, dst) AS (VALUES {vals})",
+        f"u AS (SELECT unnest(range({n_pages})) AS id)",
+        _OD_SQL,
+    ]
+
+
 def q_pagerank_webgraph_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages->text/outlinks (pandas UDFs)->edges->PageRank, end to end on the
-    deterministic synthetic Common-Crawl-style pages table (rows-only)."""
+    deterministic synthetic Common-Crawl-style pages table. PR_ITERS fixed
+    supersteps so the DuckDB oracle can unroll the exact same math over the
+    generative-rule edge list (the converged variant keeps its NumPy pytest
+    oracle, tests/test_webgraph_ops.py)."""
     from pagerank_spark.operators.pagerank import pagerank
     from pagerank_spark.operators.graph import graph_from_pages
     from pagerank_spark.sources.synth import synth_pages
-    pages = synth_pages(spark, n_pages=2000)
+    pages = synth_pages(spark, n_pages=WEBGRAPH_PAGES)
     g = graph_from_pages(spark, pages)
-    res = pagerank(g, alpha=ALPHA, tol=1e-6, max_iter=40)
+    res = pagerank(g, alpha=ALPHA, tol=None, max_iter=PR_ITERS)
     return (res.ranks.join(g.url_dict, "id")
             .select("url", F.round(F.col("rank") * g.n_vertices, 6).alias("rank_n")))
+
+
+def _webgraph_oracle_sql() -> str:
+    return _pagerank_oracle_sql(
+        PR_ITERS,
+        base_parts=_webgraph_base_parts(WEBGRAPH_PAGES),
+        final_sql=(f"SELECT {_URL_OF_SQL} AS url, "
+                   f"round(rank * (SELECT n FROM nv), 6) AS rank_n "
+                   f"FROM r{PR_ITERS}"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -937,13 +984,39 @@ SELECT start_id, vertex, visits FROM rk WHERE r <= {top_k}
 def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted anchor-text index over the F1 synthetic crawl (pandas-UDF
     anchor extraction -> per-target aggregation, operators/anchors.py).
-    Rows-only in the driver (the pages exist only as the in-memory
-    deterministic fixture, like pagerank_webgraph_e2e); the per-row
-    extraction and aggregation have pytest oracles
-    (tests/test_webgraph_ops.py)."""
+    Oracled: the expected (src, dst, anchor) triples unroll driver-side
+    from the generative rule (outlink_ids + anchor_word) as a VALUES
+    literal, so the driver hash-checks extraction AND aggregation."""
     from pagerank_spark.operators.anchors import anchor_text_index
     from pagerank_spark.sources.synth import synth_pages
-    return anchor_text_index(synth_pages(spark, n_pages=2000))
+    return anchor_text_index(synth_pages(spark, n_pages=WEBGRAPH_PAGES))
+
+
+def _anchor_index_oracle_sql() -> str:
+    """Same aggregation as operators/anchors.anchor_text_index over the
+    generative-rule anchor triples (page-index space; urls emitted via the
+    formulaic url_of at the end, like _webgraph_oracle_sql)."""
+    from pagerank_spark.sources.synth import anchor_word, outlink_ids
+    vals = ", ".join(
+        f"({i},{j},'{anchor_word(i, t)}')"
+        for i in range(WEBGRAPH_PAGES)
+        for t, j in enumerate(outlink_ids(i))
+    )
+    return f"""
+WITH pairs(src, id, anchor) AS (VALUES {vals}),
+per_text AS (SELECT id, anchor, count(*) AS n FROM pairs GROUP BY id, anchor),
+top AS (SELECT id, anchor AS top_anchor, n AS top_anchor_n FROM (
+    SELECT id, anchor, n,
+           row_number() OVER (PARTITION BY id ORDER BY n DESC, anchor ASC) AS rk
+    FROM per_text) WHERE rk = 1),
+totals AS (SELECT id, count(*) AS n_anchors,
+                  count(DISTINCT src) AS n_sources,
+                  count(DISTINCT anchor) AS n_texts
+           FROM pairs GROUP BY id)
+SELECT {_URL_OF_SQL} AS url, n_anchors, n_sources, n_texts,
+       top_anchor, top_anchor_n
+FROM totals JOIN top USING (id)
+"""
 
 
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2222,8 +2295,12 @@ def oracle_sql() -> dict[str, str]:
         "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
         "degree_distribution": SQL_DEGREE_DISTRIBUTION,
         "ppr_batch": _ppr_batch_oracle_sql(PR_ITERS),
+        # e2e extraction rows: the expected edge/anchor lists unroll
+        # driver-side from the F1 generative rule as VALUES literals, so
+        # the driver hash-checks the pandas-UDF extraction end to end
+        "pagerank_webgraph_e2e": _webgraph_oracle_sql(),
+        "anchor_text_index": _anchor_index_oracle_sql(),
         # rows-only (non-SQL-expressible):
-        # pagerank_webgraph_e2e (pandas-UDF link extraction),
         # multimodal_features (mapInPandas media decode),
-        # streaming_edge_ingest (same pandas-UDF extraction, streamed)
+        # streaming_edge_ingest (pandas-UDF extraction, streamed micro-batches)
     }

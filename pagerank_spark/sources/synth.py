@@ -57,15 +57,23 @@ def text_of(i: int) -> str:
     return f"page {i} body {words_of(i)}"
 
 
-def outlinks_of(i: int, n_sites: int = 97) -> list[str]:
-    """Target urls of page i under the fixture's preferential-attachment rule."""
+def outlink_ids(i: int) -> list[int]:
+    """Target page indices of page i under the fixture's
+    preferential-attachment rule (position t matters: ``anchor_word(i, t)``
+    keys off it). Shared by the HTML generator and the driver-contract
+    DuckDB oracles, which unroll the expected edge list from this rule."""
     if i % 13 == 0:
         return []  # dangling page
     k = 1 + (i * KNUTH) % 7
     targets = [int(mix3(i, t, SEED) % np.uint64(i + 1)) for t in range(k)]
     if i % 17 == 0:
         targets.append(0)  # hot vertex
-    return [url_of(j, n_sites) for j in targets]
+    return targets
+
+
+def outlinks_of(i: int, n_sites: int = 97) -> list[str]:
+    """Target urls of page i under the fixture's preferential-attachment rule."""
+    return [url_of(j, n_sites) for j in outlink_ids(i)]
 
 
 def anchor_word(i: int, t: int) -> str:
