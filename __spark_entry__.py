@@ -1434,8 +1434,10 @@ def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming link ingestion (streaming/ingest.py): synth pages land in
     two micro-batches, outlinks extracted per batch with the shared pandas
     UDF, appended to an edge log, compacted to latest-crawl edges.
-    Rows-only (the HTML extraction UDF is not SQL-expressible — same
-    status as pagerank_webgraph_e2e / anchor_text_index)."""
+    Oracled on the (src_url, dst_url) edge set via the generative-rule
+    VALUES unroll (like pagerank_webgraph_e2e); the xxhash64 vertex ids
+    are engine-specific and stay pytest-checked (stream-vs-batch equality,
+    tests/test_ingest_stream.py)."""
     import shutil
     import tempfile
 
@@ -1444,7 +1446,8 @@ def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  stream_pages)
     d = tempfile.mkdtemp(prefix="stream_ingest_")
     try:
-        pages = synth_pages(spark, n_pages=500).localCheckpoint(eager=True)
+        pages = synth_pages(spark, n_pages=STREAM_INGEST_PAGES) \
+            .localCheckpoint(eager=True)
         land = f"{d}/landing"
         pages.filter("xxhash64(url) % 2 = 0").coalesce(1) \
              .write.mode("append").parquet(land)
@@ -1455,10 +1458,28 @@ def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         return (compact_edges(spark, f"{d}/edges")
+                .select("src_url", "dst_url")
                 .orderBy("src_url", "dst_url")
                 .localCheckpoint(eager=True))   # materialize before rmtree
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+STREAM_INGEST_PAGES = 500  # fixture size above
+
+
+def _stream_ingest_oracle_sql() -> str:
+    from pagerank_spark.sources.synth import outlink_ids
+    vals = ", ".join(f"({i},{j})"
+                     for i in range(STREAM_INGEST_PAGES)
+                     for j in outlink_ids(i))
+    url = "printf('https://site%d.example/page%d', {c} % 97, {c})"
+    return f"""
+WITH e(src, dst) AS (VALUES {vals}),
+d AS (SELECT DISTINCT src, dst FROM e)
+SELECT {url.format(c='src')} AS src_url, {url.format(c='dst')} AS dst_url
+FROM d
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2300,7 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         # the driver hash-checks the pandas-UDF extraction end to end
         "pagerank_webgraph_e2e": _webgraph_oracle_sql(),
         "anchor_text_index": _anchor_index_oracle_sql(),
+        "streaming_edge_ingest": _stream_ingest_oracle_sql(),
         # rows-only (non-SQL-expressible):
-        # multimodal_features (mapInPandas media decode),
-        # streaming_edge_ingest (pandas-UDF extraction, streamed micro-batches)
+        # multimodal_features (mapInPandas media decode)
     }
