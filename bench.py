@@ -126,6 +126,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         edges, label_propagation(edges, max_rounds=3).labels)))
     timed("cocitation_top25",
           lambda: noop(cocitation_topk(edges, top_k=25, max_degree=64)))
+    from pagerank_spark.operators.bowtie import bowtie_decomposition
+    timed("bowtie_8h",
+          lambda: noop(bowtie_decomposition(edges, max_hops=8).regions))
     timed("avg_neighbor_degree", lambda: noop(avg_neighbor_degree(edges)))
     timed("degree_distribution", lambda: noop(degree_distribution(
         edges, universe=g.vertices.select("id"))))

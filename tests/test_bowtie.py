@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from pagerank_spark.operators.bowtie import (bowtie_decomposition,
+                                             bowtie_sizes)
+
+# canonical Broder bow-tie: core cycle {0,1,2}; IN chain 4->3->core;
+# OUT chain core->5->6; TUBE 3->7->5 (bypasses the core); TENDRIL 8
+# (forward of IN), 9 (backward of OUT); DISCONNECTED 2-cycle {10,11}
+BOWTIE_EDGES = [
+    (0, 1), (1, 2), (2, 0),
+    (3, 0), (4, 3),
+    (2, 5), (5, 6),
+    (3, 7), (7, 5),
+    (4, 8), (9, 6),
+    (10, 11), (11, 10),
+]
+EXPECTED = {
+    0: "CORE", 1: "CORE", 2: "CORE",
+    3: "IN", 4: "IN",
+    5: "OUT", 6: "OUT",
+    7: "TUBE",
+    8: "TENDRIL", 9: "TENDRIL",
+    10: "DISCONNECTED", 11: "DISCONNECTED",
+}
+
+
+def test_bowtie_canonical(spark):
+    df = spark.createDataFrame(BOWTIE_EDGES, "src long, dst long")
+    res = bowtie_decomposition(df)
+    assert res.converged
+    assert res.core_label == 0 and res.core_size == 3
+    got = {r.id: r.region for r in res.regions.collect()}
+    assert got == EXPECTED
+    sizes = {r.region: r.n for r in bowtie_sizes(res).collect()}
+    assert sizes == {"CORE": 3, "IN": 2, "OUT": 2, "TUBE": 1,
+                     "TENDRIL": 2, "DISCONNECTED": 2}
+
+
+def test_bowtie_pure_cycle_all_core(spark):
+    """Single cycle: everything CORE; the IN/OUT-seeded sweeps start from
+    empty frontiers and must exhaust cleanly."""
+    n = 7
+    df = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                               "src long, dst long")
+    res = bowtie_decomposition(df)
+    assert res.converged
+    got = {r.id: r.region for r in res.regions.collect()}
+    assert got == {i: "CORE" for i in range(n)}
+
+
+def test_bowtie_universe_isolated(spark):
+    """Universe-only vertices (no edges at all) land in DISCONNECTED."""
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    res = bowtie_decomposition(df, universe=spark.range(4))
+    got = {r.id: r.region for r in res.regions.collect()}
+    assert got == {0: "CORE", 1: "CORE",
+                   2: "DISCONNECTED", 3: "DISCONNECTED"}
+
+
+def test_bowtie_deterministic(spark):
+    df = spark.createDataFrame(BOWTIE_EDGES, "src long, dst long")
+    a = {(r.id, r.region) for r in bowtie_decomposition(df).regions.collect()}
+    b = {(r.id, r.region) for r in bowtie_decomposition(df).regions.collect()}
+    assert a == b
