@@ -1797,6 +1797,59 @@ FROM documents GROUP BY 1
 SAMPLE10_SALT = "s10"
 
 
+DECONTAM_NGRAM = 3      # word n-gram order for the leak check
+DECONTAM_MIN_SHARED = 2  # flag pairs sharing >= this many distinct n-grams
+DECONTAM_MAX_DF = 200   # stop-shingle cap: drop n-grams in > this many train docs
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination over the deterministic split
+    (operators/decontam.py): per non-train doc, its worst n-gram-overlap
+    train doc."""
+    from pagerank_spark.operators.decontam import decontaminate_split
+    return decontaminate_split(
+        _t(spark, sf_dir, "documents"), ngram=DECONTAM_NGRAM,
+        min_shared=DECONTAM_MIN_SHARED, max_df=DECONTAM_MAX_DF)
+
+
+def _decontaminate_sql() -> str:
+    """Same pipeline in DuckDB: split by the shared bucket hash, distinct
+    word n-grams per doc (joined on the STRING; Spark joins on xxhash64 of
+    it — equal absent 64-bit collisions), train-df cap, pair counts,
+    deterministic per-eval argmax."""
+    from pagerank_spark.operators.splits import duckdb_bucket_sql
+    b = duckdb_bucket_sql("doc_id")
+    n1 = DECONTAM_NGRAM - 1
+    return f"""
+WITH sp AS (SELECT doc_id,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split FROM documents),
+tok AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+gr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+{n1}], ' ') AS g
+       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - {n1}, 1))) AS t(i)),
+tr AS (SELECT gr.doc_id, gr.g FROM gr JOIN sp ON sp.doc_id = gr.doc_id
+       WHERE sp.split = 'train'),
+ev AS (SELECT gr.doc_id, gr.g FROM gr JOIN sp ON sp.doc_id = gr.doc_id
+       WHERE sp.split <> 'train'),
+rare AS (SELECT g FROM tr GROUP BY g HAVING count(*) <= {DECONTAM_MAX_DF}),
+sz AS (SELECT doc_id, count(*) AS eval_ngrams FROM ev GROUP BY doc_id),
+shared AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+                  count(*) AS n_shared
+           FROM ev JOIN rare ON rare.g = ev.g JOIN tr ON tr.g = ev.g
+           GROUP BY 1, 2 HAVING count(*) >= {DECONTAM_MIN_SHARED}),
+best AS (SELECT eval_id, train_id, n_shared FROM (
+    SELECT eval_id, train_id, n_shared,
+           row_number() OVER (PARTITION BY eval_id
+                              ORDER BY n_shared DESC, train_id ASC) AS rk
+    FROM shared) WHERE rk = 1)
+SELECT b.eval_id AS doc_id, s.split, b.n_shared, z.eval_ngrams,
+       CAST(b.n_shared AS DOUBLE) / z.eval_ngrams AS overlap, b.train_id
+FROM best b JOIN sz z ON z.doc_id = b.eval_id
+JOIN sp s ON s.doc_id = b.eval_id
+"""
+
+
 def q_docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by doc_id hash plus
     a nested 10% subsample flag (operators/splits.py) — pure narrow
@@ -2286,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_batch": q_ppr_batch,
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
+        "decontaminate": q_decontaminate,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -2389,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_webgraph_e2e": _webgraph_oracle_sql(),
         "anchor_text_index": _anchor_index_oracle_sql(),
         "streaming_edge_ingest": _stream_ingest_oracle_sql(),
+        "decontaminate": _decontaminate_sql(),
         # rows-only (non-SQL-expressible):
         # multimodal_features (mapInPandas media decode)
     }
