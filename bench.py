@@ -171,6 +171,10 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.textops import tfidf_top_terms
     timed("docs_dataset_split", lambda: noop(dataset_split(docs, "doc_id")))
     timed("docs_tfidf_top3", lambda: noop(tfidf_top_terms(docs, k=3)))
+    from pagerank_spark.operators.decontam import decontaminate_split
+    timed("decontaminate",
+          lambda: noop(decontaminate_split(docs, ngram=3, min_shared=2,
+                                           max_df=200)))
 
     g.unpersist()  # release the cached graph before a possible next rep
     return timings, pr_stats
