@@ -1990,6 +1990,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: MinHash+LSH pairs -> connected-component duplicate
+    clusters -> min-id canonical keep flag (dedup.dedup_clusters over the
+    full doc universe; filter(keep=1) IS the deduplicated corpus)."""
+    from pagerank_spark.operators.dedup import (dedup_clusters,
+                                                near_duplicates_minhash,
+                                                shared_hash60)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.5, k=_MH_K, bands=_MH_BANDS, rows=_MH_ROWS,
+        hash_fn=shared_hash60)
+    return (dedup_clusters(pairs, universe=docs.select("doc_id"))
+            .select("doc_id", "cluster",
+                    F.col("keep").cast("int").alias("keep")))
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Minhash pair pipeline (inner WITH scope) + the hash-min reachability
+    walk of SQL_CONNECTED_COMPONENTS over the pair graph."""
+    inner = _minhash_lsh_oracle_sql()
+    return f"""
+WITH RECURSIVE hit AS ({inner}),
+sym AS (SELECT a, b FROM hit UNION ALL SELECT b AS a, a AS b FROM hit),
+walk(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.b, walk.r FROM walk JOIN sym ON sym.a = walk.id
+    WHERE walk.r < sym.b
+),
+comp AS (SELECT id, min(r) AS cluster FROM walk GROUP BY id)
+SELECT id AS doc_id, cluster, CAST(id = cluster AS INT) AS keep FROM comp
+"""
+
+
 def _minhash_lsh_oracle_sql(threshold: float = 0.5, max_bucket: int = 1000) -> str:
     """The full MinHash+LSH pipeline in DuckDB SQL, numerically identical to
     operators/dedup.py under shared_hash60: 31-bit affine permutations as
@@ -2340,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -2444,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": _anchor_index_oracle_sql(),
         "streaming_edge_ingest": _stream_ingest_oracle_sql(),
         "decontaminate": _decontaminate_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         # rows-only (non-SQL-expressible):
         # multimodal_features (mapInPandas media decode)
     }

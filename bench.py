@@ -175,6 +175,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("decontaminate",
           lambda: noop(decontaminate_split(docs, ngram=3, min_shared=2,
                                            max_df=200)))
+    from pagerank_spark.operators.dedup import deduplicate_corpus
+    timed("dedup_corpus",
+          lambda: noop(deduplicate_corpus(docs, threshold=0.5)))
 
     g.unpersist()  # release the cached graph before a possible next rep
     return timings, pr_stats

@@ -299,3 +299,59 @@ def embedding_near_duplicates(
         "a", "b", cosine(F.col("va").cast("array<double>"),
                          F.col("vb").cast("array<double>")).alias("cos"))
     return sim.filter(F.col("cos") >= threshold)
+
+
+# -- duplicate-cluster formation + canonical selection ----------------------
+
+
+def dedup_clusters(pairs: DataFrame, universe: DataFrame | None = None,
+                   a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Near-dup pairs -> duplicate clusters -> keep/drop decision.
+
+    The completion step of every dedup pipeline: duplicate pairs are the
+    edge list of an undirected similarity graph; a duplicate CLUSTER is a
+    connected component of it (operators/components.py hash-min — the
+    same Kiveris-style loop the link graph uses), and the canonical
+    survivor is the smallest doc id per cluster (deterministic under any
+    partitioning). Returns ``(doc_id, cluster, keep)``; with ``universe``
+    (a (doc_id) frame of ALL docs), singleton non-duplicated docs appear
+    as their own kept cluster, so ``filter(keep)`` IS the deduplicated
+    corpus.
+
+    Scale shape: pair graphs are tiny relative to the corpus (only docs
+    with a near-dup appear), components is two groupBys per round, and the
+    keep flag is one expression off the component label — no extra
+    shuffle, no window.
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    uni = None
+    if universe is not None:
+        uni = universe.select(F.col(universe.columns[0]).alias("id"))
+    labels = connected_components(edges, universe=uni).labels
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
+def deduplicate_corpus(
+    docs: DataFrame, threshold: float = 0.8, k: int = 64,
+    bands: int = 16, rows: int = 4, ngram: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int = 1000, hash_fn=F.xxhash64,
+) -> DataFrame:
+    """docs minus near-duplicates: MinHash+LSH pairs -> clusters -> keep
+    the min-id survivor of each cluster. Returns the surviving docs with
+    their ``cluster`` label appended."""
+    pairs = near_duplicates_minhash(
+        docs, threshold=threshold, k=k, bands=bands, rows=rows, ngram=ngram,
+        id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+        hash_fn=hash_fn)
+    clusters = dedup_clusters(
+        pairs, universe=docs.select(F.col(id_col).alias("doc_id")))
+    return (docs.join(
+        clusters.filter("keep").select(F.col("doc_id").alias(id_col),
+                                       "cluster"), id_col))

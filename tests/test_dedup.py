@@ -108,3 +108,30 @@ def test_lsh_max_bucket_drops_boilerplate_hot_bucket(spark):
     uncapped = {(r.a, r.b)
                 for r in dedup.lsh_candidate_pairs(sigs, 16, 4, max_bucket=10_000).collect()}
     assert {(a, b) for a in range(100, 130) for b in range(a + 1, 130)} <= uncapped
+
+
+def test_dedup_clusters_and_keep(spark):
+    # pairs: {1,2,3} via 1-2, 2-3; {7,9} via 9-7; universe adds singleton 5
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (9, 7)], "a long, b long")
+    uni = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)],
+                                "doc_id long")
+    from pagerank_spark.operators.dedup import dedup_clusters
+    got = {r.doc_id: (r.cluster, r.keep)
+           for r in dedup_clusters(pairs, universe=uni).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (7, True), 9: (7, False)}
+
+
+def test_deduplicate_corpus_planted(spark):
+    from pagerank_spark.operators.dedup import deduplicate_corpus
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows = [(i, f"unique document {i} " + " ".join(
+        f"w{(i * 7 + j) % 31}" for j in range(20))) for i in range(20)]
+    # plant 3 copies of the same text at ids 100..102
+    rows += [(100 + i, base) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = deduplicate_corpus(docs, threshold=0.8)
+    kept = {r.doc_id for r in out.collect()}
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert all(i in kept for i in range(20))  # uniques survive
