@@ -1797,6 +1797,73 @@ FROM documents GROUP BY 1
 SAMPLE10_SALT = "s10"
 
 
+URLNORM_N = 300  # messy-url fixture rows (constructed identically in both engines)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py, all JVM expressions): a
+    deterministic messy-url fixture (case/port/query/fragment variants,
+    built from range({URLNORM_N}) with the same string algebra in both
+    engines) normalized + parsed."""
+    from pagerank_spark.functions.urls import (normalize_url,
+                                               registered_domain, url_depth,
+                                               url_host)
+    i = F.col("id")
+    url = F.concat(
+        F.when(i % 3 == 0, "HTTP://").when(i % 3 == 1, "https://")
+         .otherwise("http://"),
+        F.when(i % 2 == 0, "WWW.Site").otherwise("site"),
+        (i % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 5 == 0, ":80").when(i % 5 == 1, ":8080").otherwise(""),
+        F.lit("/Path/"), i.cast("string"),
+        F.when(i % 4 == 0, "?b=2&a=1&c=3").otherwise(""),
+        F.when(i % 6 == 0, "#frag").otherwise(""),
+    )
+    return spark.range(URLNORM_N).select(
+        "id", url.alias("url")).select(
+        "id",
+        normalize_url(F.col("url")).alias("norm"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("domain"),
+        url_depth(F.col("url")).alias("depth"))
+
+
+def _url_normalize_sql() -> str:
+    hp = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
+    return f"""
+WITH ids AS (SELECT unnest(range({URLNORM_N})) AS id),
+raw AS (SELECT id,
+  (CASE WHEN id % 3 = 0 THEN 'HTTP://' WHEN id % 3 = 1 THEN 'https://'
+        ELSE 'http://' END)
+  || (CASE WHEN id % 2 = 0 THEN 'WWW.Site' ELSE 'site' END)
+  || CAST(id % 7 AS VARCHAR) || '.Example.COM'
+  || (CASE WHEN id % 5 = 0 THEN ':80' WHEN id % 5 = 1 THEN ':8080' ELSE '' END)
+  || '/Path/' || CAST(id AS VARCHAR)
+  || (CASE WHEN id % 4 = 0 THEN '?b=2&a=1&c=3' ELSE '' END)
+  || (CASE WHEN id % 6 = 0 THEN '#frag' ELSE '' END) AS url FROM ids),
+parts AS (SELECT id,
+  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(lower({hp}), ':[0-9]+$', '') AS host,
+  regexp_extract({hp}, ':([0-9]+)$', 1) AS port,
+  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM raw)
+SELECT id,
+  scheme || '://' || host
+  || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+      THEN '' ELSE ':' || port END)
+  || (CASE WHEN path = '' THEN '/' ELSE path END)
+  || (CASE WHEN q = '' THEN ''
+      ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+  AS norm,
+  host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT) AS depth
+FROM parts
+"""
+
+
 DECONTAM_NGRAM = 3      # word n-gram order for the leak check
 DECONTAM_MIN_SHARED = 2  # flag pairs sharing >= this many distinct n-grams
 DECONTAM_MAX_DF = 200   # stop-shingle cap: drop n-grams in > this many train docs
@@ -2375,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "url_normalize": q_url_normalize,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -2480,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_edge_ingest": _stream_ingest_oracle_sql(),
         "decontaminate": _decontaminate_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "url_normalize": _url_normalize_sql(),
         # rows-only (non-SQL-expressible):
         # multimodal_features (mapInPandas media decode)
     }
