@@ -22,9 +22,13 @@ PROP = settings(max_examples=4, deadline=None,
 
 
 def _ranks(spark, edges, n):
+    # fixed-superstep run: permutation invariance and mass conservation
+    # hold at EVERY superstep, so converging to 1e-10 (~50+ Spark jobs per
+    # example) buys nothing over 12 fixed ones — this test's wall time is
+    # the whole suite's outlier otherwise
     g = build_graph(
         spark, spark.createDataFrame(edges, "src long, dst long"), n_vertices=n)
-    res = pagerank(g, tol=1e-10, max_iter=200)
+    res = pagerank(g, tol=None, max_iter=12)
     out = np.zeros(n)
     for r in res.ranks.collect():
         out[r.id] = r.rank
