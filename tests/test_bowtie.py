@@ -62,3 +62,13 @@ def test_bowtie_deterministic(spark):
     a = {(r.id, r.region) for r in bowtie_decomposition(df).regions.collect()}
     b = {(r.id, r.region) for r in bowtie_decomposition(df).regions.collect()}
     assert a == b
+
+
+def test_bowtie_plan_is_window_free_jvm_only(spark):
+    """Region pick is a union+groupBy+left-join — no Window, no per-row
+    Python anywhere in the assembled plan."""
+    from pagerank_spark.plans.inspect import python_nodes, simple_plan
+    df = spark.createDataFrame(BOWTIE_EDGES, "src long, dst long")
+    res = bowtie_decomposition(df)
+    assert python_nodes(res.regions) == []
+    assert "Window" not in simple_plan(res.regions)

@@ -67,3 +67,13 @@ def test_decontaminate_split_deterministic(spark):
     a = {tuple(r) for r in decontaminate_split(df, ngram=3).collect()}
     b = {tuple(r) for r in decontaminate_split(df, ngram=3).collect()}
     assert a == b
+
+
+def test_decontaminate_plan_is_window_free_jvm_only(spark):
+    """At-scale shape: no Window node ever sorts a hub shingle's matches in
+    one task, and no per-row Python touches the hot path."""
+    from pagerank_spark.plans.inspect import python_nodes, simple_plan
+    df = _docs(spark, [(i, f"a b c d{i} e f") for i in range(10)])
+    out = decontaminate_split(df, ngram=3)
+    assert python_nodes(out) == []
+    assert "Window" not in simple_plan(out)
