@@ -915,6 +915,41 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def q_pagerank_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo PageRank estimate (walks.pagerank_monte_carlo): visit
+    counts over the deterministic walk corpus with a hash-coin geometric
+    continuation — the cheap warm-start/shortlist pre-pass."""
+    from pagerank_spark.operators.walks import pagerank_monte_carlo
+    return pagerank_monte_carlo(
+        _edges(spark, sf_dir), alpha=ALPHA, walks_per_vertex=WALKS_R,
+        max_length=WALK_LEN, seed=WALK_SEED)
+
+
+def _pagerank_mc_oracle_sql(length: int, walks_r: int, seed: int,
+                            alpha: float) -> str:
+    """Walk-corpus unroll + the same md5 continuation coins + visit count."""
+    thresh = int(round(alpha * 1_000_000))
+
+    def coin(j: int) -> str:
+        return (f"(('0x' || substr(md5(start_id || ':' || walk || "
+                f"':{j}:{seed}:c'), 1, 15))::BIGINT % 1000000) < {thresh}")
+
+    arms = ["step = 0"]
+    for k in range(1, length + 1):
+        conj = " AND ".join(coin(j) for j in range(1, k + 1))
+        arms.append(f"(step = {k} AND {conj})")
+    alive = " OR ".join(arms)
+    base = _random_walks_oracle_sql(length, walks_r, seed)
+    return f"""
+WITH w AS ({base}),
+v AS (SELECT vertex AS id, count(*) AS visits FROM w
+      WHERE {alive} GROUP BY vertex),
+t AS (SELECT sum(visits) AS t FROM v)
+SELECT id, visits, CAST(visits AS DOUBLE) / t.t AS rank_est
+FROM v CROSS JOIN t
+"""
+
+
 SAMPLE_FANOUTS = [3, 2]   # GraphSAGE layer fan-outs for the driver query
 SAMPLE_SEEDS = 8          # seeds = ids < 8
 
@@ -2443,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "url_normalize": q_url_normalize,
+        "pagerank_mc": q_pagerank_mc,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -2549,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "url_normalize": _url_normalize_sql(),
+        "pagerank_mc": _pagerank_mc_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED, ALPHA),
         # rows-only (non-SQL-expressible):
         # multimodal_features (mapInPandas media decode)
     }

@@ -142,3 +142,60 @@ def covisit_similarity(
         .filter(F.col("rk") <= top_k)
         .drop("rk")
     )
+
+
+def pagerank_monte_carlo(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    walks_per_vertex: int = 8,
+    max_length: int = 16,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Monte-Carlo PageRank estimate from the walk corpus (Avrachenkov et
+    al., "Monte Carlo methods in PageRank computation", 2007): every
+    vertex launches R walks; a walk CONTINUES past step j with probability
+    alpha (here a deterministic hash coin on (start, walk, j, seed), so
+    the estimate is bit-reproducible and SQL-expressible like the corpus
+    itself); the PageRank estimate is each vertex's share of all surviving
+    visits. Dangling vertices terminate walks (random_walks semantics) —
+    the estimator family that stops at dangling rather than teleporting.
+
+    An ESTIMATOR, not the fixed point: truncation at ``max_length`` drops
+    a geometric tail <= alpha^max_length of visit mass, and accuracy grows
+    with ``walks_per_vertex`` (stderr ~ 1/sqrt(R)). Its production role is
+    the cheap pre-pass: one reusable walk corpus + one count, no O(E)
+    iteration — rank plausibility checks, hub shortlists, warm-start
+    vectors (feed the exact engine via ``pagerank(init_ranks=...)``).
+
+    Returns ``(id, visits, rank_est)`` for all visited vertices (vertices
+    never visited have estimate 0 and are omitted; join your universe if
+    zeros matter).
+    """
+    w = random_walks(edges, walk_length=max_length,
+                     walks_per_vertex=walks_per_vertex, seed=seed,
+                     starts=starts)
+    thresh = int(round(alpha * 1_000_000))
+
+    def coin(j):
+        return F.pmod(
+            shared_hash60(F.concat_ws(
+                ":",
+                F.col("start_id").cast("string"),
+                F.col("walk").cast("string"),
+                j.cast("string"),
+                F.lit(str(seed)),
+                F.lit("c"),
+            )),
+            F.lit(1_000_000),
+        ) < F.lit(thresh)
+
+    alive = (F.col("step") == 0) | F.forall(
+        F.sequence(F.lit(1), F.col("step")), coin)
+    visits = (w.filter(alive)
+              .groupBy(F.col("vertex").alias("id"))
+              .agg(F.count(F.lit(1)).alias("visits")))
+    tot = visits.agg(F.sum("visits").alias("t"))
+    return (visits.crossJoin(F.broadcast(tot))
+            .select("id", "visits",
+                    (F.col("visits") / F.col("t")).alias("rank_est")))

@@ -86,3 +86,43 @@ def test_covisit_similarity_matches_recount(spark):
         for negn, v in sorted(lst)[:2]:
             want[(s, v)] = -negn
     assert got == want
+
+
+def test_pagerank_mc_tracks_exact(spark):
+    """The MC estimate correlates strongly with the exact fixed point on a
+    random graph, sums to 1, and is bit-deterministic across runs."""
+    import numpy as np
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.operators.walks import pagerank_monte_carlo
+
+    n, m = 60, 360
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, n, m), rng.integers(0, n, m))]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    exact = pagerank(build_graph(spark, df, n_vertices=n),
+                     alpha=0.85, tol=1e-10, max_iter=200)
+    ex = np.zeros(n)
+    for r in exact.ranks.collect():
+        ex[r.id] = r.rank
+
+    est_rows = pagerank_monte_carlo(
+        df, alpha=0.85, walks_per_vertex=40, max_length=16,
+        starts=spark.range(n)).collect()
+    mc = np.zeros(n)
+    for r in est_rows:
+        mc[r.id] = r.rank_est
+    assert abs(mc.sum() - 1.0) < 1e-9
+    corr = np.corrcoef(ex, mc)[0, 1]
+    assert corr > 0.9, corr
+    # top-5 shortlist overlap (the estimator's production use)
+    top_ex = set(np.argsort(-ex)[:5])
+    top_mc = set(np.argsort(-mc)[:5])
+    assert len(top_ex & top_mc) >= 3, (top_ex, top_mc)
+
+    again = {(r.id, r.visits, r.rank_est) for r in pagerank_monte_carlo(
+        df, alpha=0.85, walks_per_vertex=40, max_length=16,
+        starts=spark.range(n)).collect()}
+    assert {(r.id, r.visits, r.rank_est) for r in est_rows} == again
