@@ -50,7 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "components", "labelprop", "triangles",
                             "hits", "bfs", "kcore", "coreness", "scc", "anf",
                             "salsa", "walks", "betweenness", "linkpred",
-                            "trustrank", "reciprocity", "covisit", "sample"],
+                            "trustrank", "reciprocity", "covisit", "sample",
+                            "bowtie", "closeness", "ktruss", "cocitation",
+                            "mcpagerank"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -201,6 +203,31 @@ def _run_algo(spark, graph, args) -> int:
         fanouts = [args.k] * args.max_iteration
         out = sample_neighbors(edges, seeds, fanouts)
         tail = f"hops={args.max_iteration} fanout={args.k}"
+    elif args.algo == "bowtie":
+        from pagerank_spark.operators.bowtie import bowtie_decomposition
+        res = bowtie_decomposition(edges, universe=universe,
+                                   max_hops=args.max_iteration)
+        out = res.regions
+        tail = (f"core_label={res.core_label} core_size={res.core_size} "
+                f"converged={res.converged}")
+    elif args.algo == "closeness":
+        from pagerank_spark.operators.neighborhood import closeness_centrality_exact
+        res = closeness_centrality_exact(edges, max_t=args.max_iteration,
+                                         universe=universe)
+        out, tail = res.scores, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "ktruss":
+        from pagerank_spark.operators.truss import k_truss
+        res = k_truss(edges, k=args.k, max_rounds=args.max_iteration)
+        out, tail = res.edges, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "cocitation":
+        from pagerank_spark.operators.cocitation import cocitation_topk
+        out, tail = cocitation_topk(edges, top_k=args.k), f"top_k={args.k}"
+    elif args.algo == "mcpagerank":
+        from pagerank_spark.operators.walks import pagerank_monte_carlo
+        out = pagerank_monte_carlo(edges, alpha=args.alpha,
+                                   walks_per_vertex=args.k,
+                                   max_length=args.max_iteration)
+        tail = f"walks_per_vertex={args.k} max_length={args.max_iteration}"
     else:  # kcore
         from pagerank_spark.operators.kcore import k_core
         res = k_core(edges, k=args.k, max_rounds=args.max_iteration)

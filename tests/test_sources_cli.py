@@ -214,3 +214,16 @@ def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == check_cols
     assert df.count() > 0
+
+
+def test_cli_round3_algos_dispatch(spark, tmp_path, g6_file):
+    """Round-3 CLI surface: each new --algo runs end to end and writes a
+    non-degenerate parquet result."""
+    from pagerank_spark.cli import main
+    expect_min_rows = {"bowtie": 6, "closeness": 6, "ktruss": 0,
+                       "cocitation": 1, "mcpagerank": 1}
+    for algo, min_rows in expect_min_rows.items():
+        out = tmp_path / f"cli_{algo}"
+        rc = main([g6_file, str(out), "6", "--algo", algo, "--k", "3"])
+        assert rc == 0, algo
+        assert spark.read.parquet(str(out)).count() >= min_rows, algo
