@@ -915,6 +915,69 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+N2V_P = 4.0    # node2vec return bias (w_ret = 250)
+N2V_Q = 0.25   # node2vec in-out bias (w_dfs = 4000)
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walk corpus (walks.node2vec_walks): integer
+    p/q weights, deterministic hash pick against the per-walker
+    cumulative weight — SQL-reproducible end to end."""
+    from pagerank_spark.operators.walks import node2vec_walks
+    return node2vec_walks(_edges(spark, sf_dir), walk_length=WALK_LEN,
+                          walks_per_vertex=WALKS_R, p=N2V_P, q=N2V_Q,
+                          seed=WALK_SEED)
+
+
+def _node2vec_oracle_sql(length: int, walks_r: int, p: float, q: float,
+                         seed: int) -> str:
+    """Unrolled biased steps: per step one candidates join, one prev->x
+    classification left join, one cumulative/total weight window, one
+    interval pick — mirroring node2vec_walks expression for expression."""
+    w_ret, w_bfs, w_dfs = round(1000 / p), 1000, round(1000 / q)
+    rs = " UNION ALL ".join(
+        f"SELECT {i} AS r" if i == 0 else f"SELECT {i}"
+        for i in range(walks_r))
+    parts = [
+        _E_SQL, _U_SQL,
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "dgw AS (SELECT DISTINCT src, deg FROM adj)",
+        "sed AS (SELECT DISTINCT src AS prev, dst AS x FROM e)",
+        f"s0 AS (SELECT u.id AS start_id, w.r AS walk, u.id AS prev, "
+        f"u.id AS vertex FROM u CROSS JOIN ({rs}) w)",
+    ]
+    h1 = (f"('0x' || substr(md5(s.start_id || ':' || s.walk || ':1:' "
+          f"|| s.vertex || ':{seed}'), 1, 15))::BIGINT")
+    parts.append(
+        f"s1 AS (SELECT s.start_id, s.walk, s.vertex AS prev, a.dst AS vertex "
+        f"FROM s0 s JOIN dgw d ON d.src = s.vertex "
+        f"JOIN adj a ON a.src = s.vertex AND a.idx = ({h1} % d.deg))")
+    for k in range(2, length + 1):
+        hk = (f"('0x' || substr(md5(start_id || ':' || walk || ':{k}:' "
+              f"|| cur || ':{seed}:b'), 1, 15))::BIGINT")
+        parts.append(
+            f"cand{k} AS (SELECT s.start_id, s.walk, s.prev, "
+            f"s.vertex AS cur, a.dst AS x, a.idx, "
+            f"CASE WHEN a.dst = s.prev THEN {w_ret} "
+            f"WHEN sed.x IS NOT NULL THEN {w_bfs} ELSE {w_dfs} END AS w "
+            f"FROM s{k - 1} s JOIN adj a ON a.src = s.vertex "
+            f"LEFT JOIN sed ON sed.prev = s.prev AND sed.x = a.dst)")
+        parts.append(
+            f"sc{k} AS (SELECT start_id, walk, cur, x, w, "
+            f"sum(w) OVER (PARTITION BY start_id, walk ORDER BY idx) AS cum, "
+            f"sum(w) OVER (PARTITION BY start_id, walk) AS t FROM cand{k})")
+        parts.append(
+            f"s{k} AS (SELECT start_id, walk, cur AS prev, x AS vertex "
+            f"FROM sc{k} WHERE cum - w <= ({hk} % t) AND ({hk} % t) < cum)")
+    union = " UNION ALL ".join(
+        ["SELECT start_id, walk, 0 AS step, vertex FROM s0"]
+        + [f"SELECT start_id, walk, {k} AS step, vertex FROM s{k}"
+           for k in range(1, length + 1)])
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def q_pagerank_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo PageRank estimate (walks.pagerank_monte_carlo): visit
     counts over the deterministic walk corpus with a hash-coin geometric
@@ -2479,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "url_normalize": q_url_normalize,
         "pagerank_mc": q_pagerank_mc,
+        "node2vec_walks": q_node2vec_walks,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -2586,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "url_normalize": _url_normalize_sql(),
         "pagerank_mc": _pagerank_mc_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED, ALPHA),
+        "node2vec_walks": _node2vec_oracle_sql(WALK_LEN, WALKS_R, N2V_P, N2V_Q, WALK_SEED),
         # rows-only (non-SQL-expressible):
         # multimodal_features (mapInPandas media decode)
     }

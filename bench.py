@@ -101,6 +101,13 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.walks import random_walks
     timed("salsa_3iter", lambda: noop(salsa(edges, iterations=3).scores))
     timed("random_walks_4", lambda: noop(random_walks(edges, walk_length=4)))
+    from pagerank_spark.operators.walks import (node2vec_walks,
+                                                pagerank_monte_carlo)
+    timed("node2vec_walks_4",
+          lambda: noop(node2vec_walks(edges, walk_length=4, p=4.0, q=0.25)))
+    timed("pagerank_mc",
+          lambda: noop(pagerank_monte_carlo(edges, walks_per_vertex=2,
+                                            max_length=8)))
     timed("betweenness_8s",
           lambda: noop(betweenness(edges, k_sources=8, max_depth=4).scores))
     timed("link_prediction",

@@ -199,3 +199,117 @@ def pagerank_monte_carlo(
     return (visits.crossJoin(F.broadcast(tot))
             .select("id", "visits",
                     (F.col("visits") / F.col("t")).alias("rank_est")))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec, "node2vec", KDD 2016)
+    over the DIRECTED link graph; returns ``(start_id, walk, step,
+    vertex)`` rows like ``random_walks``.
+
+    From state (prev, cur), the candidate x in N_out(cur) carries integer
+    weight round(1000/p) if x == prev (return), 1000 if the edge
+    prev -> x exists (stay near prev), round(1000/q) otherwise (explore) —
+    the node2vec p/q biases as exact rationals, so the deterministic pick
+    ``H(start:walk:k:cur:seed:b) mod total_weight`` against the inclusive
+    cumulative weight is bit-reproducible and SQL-expressible. Step 1 has
+    no prev and picks uniformly (the random_walks rule).
+
+    Scale shape: per step, one E-scale candidates join (J1), one left
+    join against the simple edge set to classify prev -> x, and ONE
+    window pass per walker ordered by the adjacency index computing both
+    the cumulative and total weight. The window partition is a walker's
+    CURRENT out-neighborhood — bounded by max out-degree, which on the
+    webtext tier is bounded by page size (unlike in-degree); this is the
+    same justification as the anchor extraction fan-out. Walkers at a
+    dangling vertex stop (inner candidates join).
+    """
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0: p={p} q={q}")
+    w_ret, w_bfs, w_dfs = round(1000 / p), 1000, round(1000 / q)
+    if min(w_ret, w_dfs) < 1:
+        raise ValueError(f"p/q too large (weights truncate to 0): p={p} q={q}")
+
+    adj = adjacency_index(edges).localCheckpoint(eager=True)
+    deg = adj.select("src", "deg").distinct()
+    simple = (edges.select(F.col("src").alias("prev"),
+                           F.col("dst").alias("x"))
+              .distinct().withColumn("pb", F.lit(1))
+              .localCheckpoint(eager=True))
+    if starts is None:
+        starts = (edges.select(F.col("src").alias("id"))
+                  .unionByName(edges.select(F.col("dst").alias("id"))))
+    starts = starts.select("id").distinct()
+
+    state = starts.select(
+        F.col("id").alias("start_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),
+        F.col("id").alias("prev"),           # placeholder, unused at step 1
+        F.col("id").alias("vertex"),
+    ).localCheckpoint(eager=True)
+    out = [state.select("start_id", "walk", F.lit(0).alias("step"), "vertex")]
+
+    for k in range(1, walk_length + 1):
+        if k == 1:
+            # uniform first hop (no prev yet)
+            pick = shared_hash60(F.concat_ws(
+                ":", F.col("start_id").cast("string"),
+                F.col("walk").cast("string"), F.lit("1"),
+                F.col("vertex").cast("string"), F.lit(str(seed)))) % F.col("deg")
+            nxt = (state.join(deg.hint("shuffle_hash"),
+                              state.vertex == deg.src)
+                   .withColumn("pick_idx", pick)
+                   .select("start_id", "walk", "pick_idx",
+                           F.col("vertex").alias("cur"))
+                   .join(adj.hint("shuffle_hash"),
+                         (F.col("cur") == adj.src)
+                         & (F.col("pick_idx") == adj.idx))
+                   .select("start_id", "walk",
+                           F.col("cur").alias("prev"),
+                           F.col("dst").alias("vertex"))
+                   .localCheckpoint(eager=True))
+        else:
+            cand = (state.join(adj.hint("shuffle_hash"),
+                               state.vertex == adj.src)
+                    .select("start_id", "walk", "prev",
+                            F.col("vertex").alias("cur"),
+                            F.col("dst").alias("x"), "idx"))
+            cand = cand.join(simple, ["prev", "x"], "left")
+            wcol = (F.when(F.col("x") == F.col("prev"), w_ret)
+                    .when(F.col("pb") == 1, w_bfs)
+                    .otherwise(w_dfs))
+            win = Window.partitionBy("start_id", "walk").orderBy("idx")
+            tot = Window.partitionBy("start_id", "walk")
+            scored = cand.select(
+                "start_id", "walk", "cur", "x",
+                F.sum(wcol).over(win).alias("cum"),
+                wcol.alias("w"),
+                F.sum(wcol).over(tot).alias("t"))
+            r = shared_hash60(F.concat_ws(
+                ":", F.col("start_id").cast("string"),
+                F.col("walk").cast("string"), F.lit(str(k)),
+                F.col("cur").cast("string"), F.lit(str(seed)),
+                F.lit("b"))) % F.col("t")
+            nxt = (scored
+                   .filter((F.col("cum") - F.col("w") <= r)
+                           & (r < F.col("cum")))
+                   .select("start_id", "walk",
+                           F.col("cur").alias("prev"),
+                           F.col("x").alias("vertex"))
+                   .localCheckpoint(eager=True))
+        state = nxt
+        out.append(state.select("start_id", "walk", F.lit(k).alias("step"),
+                                "vertex"))
+        if not state.take(1):
+            break
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -126,3 +126,81 @@ def test_pagerank_mc_tracks_exact(spark):
         df, alpha=0.85, walks_per_vertex=40, max_length=16,
         starts=spark.range(n)).collect()}
     assert {(r.id, r.visits, r.rank_est) for r in est_rows} == again
+
+
+def _n2v_collect(spark, edges, **kw):
+    from pagerank_spark.operators.walks import node2vec_walks
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return node2vec_walks(df, **kw).collect()
+
+
+def test_node2vec_walks_follow_edges_and_are_deterministic(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    edges = list({(int(a), int(b)) for a, b in
+                  zip(rng.integers(0, 30, 150), rng.integers(0, 30, 150))})
+    eset = set(edges)
+    rows = _n2v_collect(spark, edges, walk_length=5, walks_per_vertex=2,
+                        p=2.0, q=0.5)
+    byw = {}
+    for r in rows:
+        byw.setdefault((r.start_id, r.walk), {})[r.step] = r.vertex
+    assert byw  # non-empty corpus
+    for (s, w), path in byw.items():
+        assert path[0] == s
+        for k in range(1, max(path) + 1):
+            assert (path[k - 1], path[k]) in eset, (s, w, k, path)
+    again = {(r.start_id, r.walk, r.step, r.vertex) for r in _n2v_collect(
+        spark, edges, walk_length=5, walks_per_vertex=2, p=2.0, q=0.5)}
+    assert {(r.start_id, r.walk, r.step, r.vertex) for r in rows} == again
+
+
+def test_node2vec_step1_matches_uniform_rule(spark):
+    """Step 1 has no prev, so it must reproduce random_walks' uniform
+    hash pick exactly (same hash string, same adjacency index)."""
+    from pagerank_spark.operators.walks import node2vec_walks, random_walks
+    edges = [(i, j) for i in range(12) for j in ((i * 3 + 1) % 12,
+                                                 (i * 5 + 2) % 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r.start_id, r.walk, r.step, r.vertex)
+         for r in node2vec_walks(df, walk_length=1, walks_per_vertex=3)
+         .collect()}
+    b = {(r.start_id, r.walk, r.step, r.vertex)
+         for r in random_walks(df, walk_length=1, walks_per_vertex=3)
+         .collect()}
+    assert a == b
+
+
+def test_node2vec_p_controls_returns(spark):
+    """On a bidirectional cycle (return always possible), tiny p must
+    produce many immediate returns and huge p almost none."""
+    n = 20
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [((i + 1) % n, i) for i in range(n)]
+
+    def returns(p):
+        rows = _n2v_collect(spark, edges, walk_length=6,
+                            walks_per_vertex=4, p=p, q=1.0)
+        byw = {}
+        for r in rows:
+            byw.setdefault((r.start_id, r.walk), {})[r.step] = r.vertex
+        ret = tot = 0
+        for path in byw.values():
+            for k in range(2, max(path) + 1):
+                tot += 1
+                ret += path[k] == path[k - 2]
+        return ret / tot
+    lo, hi = returns(100.0), returns(0.01)
+    assert hi > 0.8, hi     # p=0.01: return weight 100000 vs 1000/2000
+    assert lo < 0.2, lo     # p=100: return weight 10 vs 1000/2000
+    assert hi > lo + 0.5
+
+
+def test_node2vec_rejects_bad_params(spark):
+    import pytest
+    from pagerank_spark.operators.walks import node2vec_walks
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        node2vec_walks(df, p=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(df, p=5000.0)
