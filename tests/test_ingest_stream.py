@@ -83,3 +83,52 @@ def test_in_batch_recrawl_keeps_latest(spark):
     got = edges_of_batch(spark.createDataFrame(rows, schema))
     assert [(r.src_url, r.dst_url) for r in got.collect()] == \
         [("https://s.test/p", "https://x.test/new")]
+
+
+def test_incremental_crawl_warm_start_e2e(spark, tmp_path):
+    """The north-rule incremental story end to end: crawl 1 streams in ->
+    graph -> converged ranks; a crawl DELTA lands -> recompact -> rebuild
+    -> warm-start from the previous vector converges in no more supersteps
+    than a cold run and to the same fixed point."""
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+    from pagerank_spark.sources.synth import synth_pages
+
+    land = tmp_path / "landing"
+    crawl1 = synth_pages(spark, 150).localCheckpoint(eager=True)
+    delta = (synth_pages(spark, 200)
+             .join(crawl1.select("url"), "url", "left_anti")
+             .localCheckpoint(eager=True))
+    assert delta.count() == 50
+
+    def drain():
+        q = ingest_edges(
+            stream_pages(spark, str(land), max_files_per_trigger=1),
+            out_dir=str(tmp_path / "edges"),
+            checkpoint_dir=str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+
+    def graph():
+        e = compact_edges(spark, str(tmp_path / "edges")) \
+            .select("src", "dst").localCheckpoint(eager=True)
+        return build_graph(spark, e)
+
+    crawl1.coalesce(1).write.mode("append").parquet(str(land))
+    drain()
+    r1 = pagerank(graph(), tol=1e-6, max_iter=150)
+    assert r1.converged
+
+    delta.coalesce(1).write.mode("append").parquet(str(land))
+    drain()  # same checkpoint dir: only the new file is processed
+    g2 = graph()
+    cold = pagerank(g2, tol=1e-6, max_iter=150)
+    warm = pagerank(g2, tol=1e-6, max_iter=150, init_ranks=r1.ranks)
+    assert cold.converged and warm.converged
+    assert warm.iterations <= cold.iterations
+    c = {r.id: r.rank for r in cold.ranks.collect()}
+    w = {r.id: r.rank for r in warm.ranks.collect()}
+    assert set(c) == set(w)
+    n = len(c)
+    for i, v in c.items():
+        assert abs(v - w[i]) * n < 1e-4, i
