@@ -71,8 +71,16 @@ def bowtie_decomposition(
     core = labels.filter(F.col("scc") == core_label).select("id") \
                  .localCheckpoint(eager=True)
 
-    fwd = bfs_hops(e, core, max_hops=max_hops)        # core ∪ OUT
-    bwd = bfs_hops(rev, core, max_hops=max_hops)      # core ∪ IN
+    # the two sweeps of each stage share only checkpointed inputs, so
+    # their job DAGs are submitted from two threads and the scheduler
+    # interleaves them (the scc.py overlap discipline — each sweep's
+    # shuffle waves fill the slots the other leaves idle between rounds)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fut = pool.submit(bfs_hops, e, core, max_hops)     # core ∪ OUT
+        b_fut = pool.submit(bfs_hops, rev, core, max_hops)   # core ∪ IN
+        fwd, bwd = f_fut.result(), b_fut.result()
     out_set = fwd.distances.select("id").join(core, "id", "left_anti") \
                  .localCheckpoint(eager=True)
     in_set = bwd.distances.select("id").join(core, "id", "left_anti") \
@@ -82,8 +90,10 @@ def bowtie_decomposition(
     # Seeding with the core too keeps those sweeps from re-walking it is
     # unnecessary: anything forward of IN that meets the core is already
     # in core ∪ OUT and outranked by priority in the final pick.
-    fwd_in = bfs_hops(e, in_set, max_hops=max_hops)
-    bwd_out = bfs_hops(rev, out_set, max_hops=max_hops)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi_fut = pool.submit(bfs_hops, e, in_set, max_hops)
+        bo_fut = pool.submit(bfs_hops, rev, out_set, max_hops)
+        fwd_in, bwd_out = fi_fut.result(), bo_fut.result()
     converged = (scc.converged and fwd.exhausted and bwd.exhausted
                  and fwd_in.exhausted and bwd_out.exhausted)
 
