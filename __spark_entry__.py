@@ -337,6 +337,47 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=LP_ROUNDS).labels
 
 
+SLP_SEEDS = 16  # seeded-LP driver query: ids < 16 carry label id % 2
+
+
+def q_seeded_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (labelprop.seeded_label_propagation):
+    pinned seed classes spread to the majority of labeled neighbors;
+    unreached vertices stay NULL."""
+    from pagerank_spark.operators.labelprop import seeded_label_propagation
+    g = _graph(spark, sf_dir)
+    uni = g.vertices.select("id")
+    seeds = uni.filter(F.col("id") < SLP_SEEDS).select(
+        "id", (F.col("id") % 2).alias("label"))
+    return seeded_label_propagation(
+        _edges(spark, sf_dir), seeds, universe=uni,
+        max_rounds=LP_ROUNDS).labels
+
+
+def _seeded_lp_oracle_sql(rounds: int, n_seeds: int) -> str:
+    """Unrolled synchronous seeded LP; seeds pinned by CASE each round."""
+    seed = f"CASE WHEN u.id < {n_seeds} THEN u.id % 2 ELSE NULL END"
+    parts = [_E_SQL, _U_SQL, _S_SQL, _SYM_SQL,
+             f"l0 AS (SELECT id, {seed.replace('u.id', 'id')} AS label FROM u)"]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"n{k} AS (SELECT sym.src AS id, l.label FROM sym "
+            f"JOIN l{p} l ON l.id = sym.dst WHERE l.label IS NOT NULL)")
+        parts.append(
+            f"cnt{k} AS (SELECT id, label, count(*) AS c FROM n{k} GROUP BY id, label)")
+        parts.append(
+            f"b{k} AS (SELECT id, label AS new_label FROM "
+            f"(SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1)")
+        parts.append(
+            f"l{k} AS (SELECT u.id, CASE WHEN u.id < {n_seeds} THEN u.id % 2 "
+            f"ELSE coalesce(b.new_label, l.label) END AS label "
+            f"FROM u LEFT JOIN b{k} b ON b.id = u.id "
+            f"LEFT JOIN l{p} l ON l.id = u.id)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
 def _labelprop_parts(rounds: int) -> list[str]:
     """CTE chain of the unrolled synchronous LP (shared by the plain LP
     oracle and the modularity-of-LP oracle); final labels in l{rounds}."""
@@ -2508,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "seeded_labelprop": q_seeded_labelprop,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "hits_3iter": q_hits_3iter,
@@ -2583,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
             p_sql=f"(CASE WHEN u.id < {PPR_SEEDS} THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END)"),
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
+        "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "hits_3iter": _hits_oracle_sql(HITS_ITERS),

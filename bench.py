@@ -131,6 +131,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: noop(closeness_centrality_exact(edges, max_t=3).scores))
     timed("lpa_modularity", lambda: noop(modularity(
         edges, label_propagation(edges, max_rounds=3).labels)))
+    from pagerank_spark.operators.labelprop import seeded_label_propagation
+    timed("seeded_labelprop_3r", lambda: noop(seeded_label_propagation(
+        edges, g.vertices.filter(F.col("id") < 64).select(
+            "id", (F.col("id") % 4).alias("label")),
+        max_rounds=3).labels))
     timed("cocitation_top25",
           lambda: noop(cocitation_topk(edges, top_k=25, max_degree=64)))
     from pagerank_spark.operators.bowtie import bowtie_decomposition

@@ -84,3 +84,70 @@ def label_propagation(
             break
     return LabelPropResult(labels=labels.select("id", "label"), rounds=rounds,
                            converged=converged)
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    universe: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> LabelPropResult:
+    """Semi-supervised label propagation: ``seeds (id, label)`` carry fixed
+    class labels (spam/benign, topic ids); every round each NON-seed
+    vertex takes the most frequent label among its LABELED neighbors
+    (ties -> smallest label), or stays unlabeled (NULL) if it has none.
+    Seeds never change — the categorical counterpart of TrustRank's
+    continuous trust mass (Gyongyi et al., VLDB'04), and the classic
+    guilt-by-association spam classifier over the host graph.
+
+    Same round shape as ``label_propagation`` (two shuffles, no window);
+    the only additions are a labeled-neighbor filter and the pinned-seed
+    coalesce. Unreached vertices return ``label = NULL``.
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        sym.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    if universe is not None:
+        vertices = vertices.unionAll(universe.select("id")).distinct()
+    seed_tbl = seeds.select("id", F.col("label").cast("long").alias("seed_label"))
+    state = (vertices.join(seed_tbl, "id", "left")
+             .select("id", F.col("seed_label").alias("label"), "seed_label")
+             .localCheckpoint(eager=True))
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        neigh = sym.join(
+            state.filter(F.col("label").isNotNull())
+            .select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = neigh.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("s")
+        ).select("id", (-F.col("s.nl")).alias("new_label"))
+        obs = Observation(f"slp_changed_{rounds}")
+        nxt = (
+            state.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("seed_label", "new_label", "label").alias("label"),
+                "seed_label",
+                (~F.coalesce("seed_label", "new_label", "label")
+                 .eqNullSafe(F.col("label"))).cast("int").alias("chg"))
+            .observe(obs, F.sum("chg").alias("changed"))
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["changed"] or 0)
+        state.unpersist()
+        state = nxt.select("id", "label", "seed_label")
+        if changed == 0:
+            converged = True
+            break
+    return LabelPropResult(labels=state.select("id", "label"), rounds=rounds,
+                           converged=converged)
