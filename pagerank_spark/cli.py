@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "salsa", "walks", "betweenness", "linkpred",
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
-                            "mcpagerank"],
+                            "mcpagerank", "node2vec", "seededlp"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -222,6 +222,19 @@ def _run_algo(spark, graph, args) -> int:
     elif args.algo == "cocitation":
         from pagerank_spark.operators.cocitation import cocitation_topk
         out, tail = cocitation_topk(edges, top_k=args.k), f"top_k={args.k}"
+    elif args.algo == "node2vec":
+        from pagerank_spark.operators.walks import node2vec_walks
+        out = node2vec_walks(edges, walk_length=args.max_iteration,
+                             walks_per_vertex=args.k)
+        tail = f"walk_length={args.max_iteration} walks_per_vertex={args.k}"
+    elif args.algo == "seededlp":
+        from pagerank_spark.operators.labelprop import seeded_label_propagation
+        seeds = spark.createDataFrame(
+            [(int(s), i) for i, s in enumerate(args.source.split(","))],
+            "id long, label long")
+        res = seeded_label_propagation(edges, seeds, universe=universe,
+                                       max_rounds=args.max_iteration)
+        out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
     elif args.algo == "mcpagerank":
         from pagerank_spark.operators.walks import pagerank_monte_carlo
         out = pagerank_monte_carlo(edges, alpha=args.alpha,

@@ -221,7 +221,8 @@ def test_cli_round3_algos_dispatch(spark, tmp_path, g6_file):
     non-degenerate parquet result."""
     from pagerank_spark.cli import main
     expect_min_rows = {"bowtie": 6, "closeness": 6, "ktruss": 0,
-                       "cocitation": 1, "mcpagerank": 1}
+                       "cocitation": 1, "mcpagerank": 1, "node2vec": 6,
+                       "seededlp": 6}
     for algo, min_rows in expect_min_rows.items():
         out = tmp_path / f"cli_{algo}"
         rc = main([g6_file, str(out), "6", "--algo", algo, "--k", "3"])
