@@ -2498,15 +2498,77 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "n_events", "sum_value"))
 
 
+MM_N = 64      # media fixture rows
+MM_SEED = 7    # synth_media seed
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> decode (deterministic fake) -> frame-sample ->
-    per-item feature stats via mapInPandas (rows-only)."""
+    per-item feature stats via mapInPandas. Oracled: the fake decode is the
+    splitmix64 byte generator, which DuckDB replicates exactly with
+    HUGEINT-mod-2^64 arithmetic (_multimodal_oracle_sql) — so even the
+    stubbed media path is value-hash-checked end to end."""
     from pagerank_spark.operators.multimodal import extract_media_features, synth_media
-    media = synth_media(spark, n=64)
+    media = synth_media(spark, n=MM_N, seed=MM_SEED)
     feats = extract_media_features(media)
     return feats.select("media_id", "kind", "n_bytes", "frames_sampled",
                         F.round("mean", 6).alias("mean"),
                         F.round("std", 6).alias("std"))
+
+
+def _multimodal_oracle_sql() -> str:
+    """synth_media + fake decode + frame sampling + stats in pure SQL.
+
+    splitmix64 (functions/hashing.py) runs exactly in DuckDB: UBIGINT
+    xor/shift, with + and * routed through HUGEINT mod 2^64. Frame
+    sampling mirrors numpy linspace(0, n-1, 3).astype(int) = [0,
+    (n-1)//2, n-1]; mean/std round to 6dp on both sides (stats are
+    mathematically identical; rounding absorbs accumulation-order ulps)."""
+    G, M1, M2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    T, T32 = 1 << 64, 1 << 32
+    # HUGEINT is SIGNED int128: a full 64x64 product overflows it, so each
+    # constant multiply mod 2^64 splits the constant into 32-bit halves:
+    # z*M = z*mlo + ((z*mhi) mod 2^32) * 2^32   (mod 2^64)
+    m1hi, m1lo = M1 >> 32, M1 & (T32 - 1)
+    m2hi, m2lo = M2 >> 32, M2 & (T32 - 1)
+
+    def mulmod(y: str, hi: int, lo: int) -> str:
+        return (f"CAST((({y}::HUGEINT * {lo} + "
+                f"(({y}::HUGEINT * {hi}) % {T32}) * {T32}::HUGEINT) % {T}) "
+                f"AS UBIGINT)")
+    return f"""
+WITH ids AS (SELECT unnest(range({MM_N})) AS i),
+m AS (SELECT i,
+  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  8 + i % 5 AS w, 8 + i % 7 AS h,
+  CASE WHEN i % 3 = 0 THEN 1 ELSE 4 + i % 4 END AS nf
+  FROM ids),
+mm AS (SELECT *, w * h * nf AS size,
+       CASE WHEN nf <= 3 THEN nf ELSE 3 END AS fs FROM m),
+fidx AS (SELECT mm.i, CAST(t.f AS BIGINT) AS f FROM mm,
+         UNNEST(CASE WHEN nf <= 3 THEN range(nf)
+                     ELSE [0, (nf - 1) // 2, nf - 1] END) AS t(f)),
+pos AS (SELECT fidx.i, fidx.f * mm.h * mm.w + tk.k AS j
+        FROM fidx JOIN mm ON mm.i = fidx.i,
+        UNNEST(range(mm.h * mm.w)) AS tk(k)),
+p1 AS (SELECT i, CAST((j::HUGEINT + {G}::HUGEINT) % {T} AS UBIGINT) AS z FROM pos),
+p1y AS (SELECT i, xor(z, z >> 30) AS y FROM p1),
+p2 AS (SELECT i, {mulmod('y', m1hi, m1lo)} AS z FROM p1y),
+p2y AS (SELECT i, xor(z, z >> 27) AS y FROM p2),
+p3 AS (SELECT i, {mulmod('y', m2hi, m2lo)} AS z FROM p2y),
+p4 AS (SELECT i, xor(xor(z, z >> 31), xor(CAST({MM_SEED} AS UBIGINT), CAST(i AS UBIGINT))) AS z FROM p3),
+q1 AS (SELECT i, CAST((z::HUGEINT + {G}::HUGEINT) % {T} AS UBIGINT) AS z FROM p4),
+q1y AS (SELECT i, xor(z, z >> 30) AS y FROM q1),
+q2 AS (SELECT i, {mulmod('y', m1hi, m1lo)} AS z FROM q1y),
+q2y AS (SELECT i, xor(z, z >> 27) AS y FROM q2),
+q3 AS (SELECT i, {mulmod('y', m2hi, m2lo)} AS z FROM q2y),
+v AS (SELECT i, CAST(xor(z, z >> 31) % 256 AS DOUBLE) AS val FROM q3)
+SELECT mm.i AS media_id, mm.kind, CAST(mm.size AS INT) AS n_bytes,
+       CAST(mm.fs AS INT) AS frames_sampled,
+       round(avg(v.val), 6) AS mean, round(stddev_pop(v.val), 6) AS std
+FROM v JOIN mm ON mm.i = v.i
+GROUP BY mm.i, mm.kind, mm.size, mm.fs
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2694,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_normalize_sql(),
         "pagerank_mc": _pagerank_mc_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED, ALPHA),
         "node2vec_walks": _node2vec_oracle_sql(WALK_LEN, WALKS_R, N2V_P, N2V_Q, WALK_SEED),
-        # rows-only (non-SQL-expressible):
-        # multimodal_features (mapInPandas media decode)
+        # even the stubbed media decode is oracled: the fake decoder IS
+        # the splitmix64 byte generator, replicated in SQL
+        "multimodal_features": _multimodal_oracle_sql(),
     }
