@@ -21,8 +21,12 @@ Floating-point discipline for value-hash parity:
 
 Iterative algorithms get unrolled-CTE oracles (PageRank 3 supersteps,
 label propagation 2 rounds) or recursive-CTE oracles (connected
-components = min reachable id); genuinely non-SQL ops (MinHash-LSH,
-SimHash, hyperplane-LSH ANN, multimodal mapInPandas) are rows-only.
+components = min reachable id). As of round 3 EVERY query is oracled —
+zero rows-only entries: the shared 60-bit md5 hash reproduces the
+MinHash/SimHash/walk pipelines in SQL, the pandas-UDF extraction queries
+unroll their expected edge/anchor lists from the F1 generative rule as
+VALUES literals, and the multimodal fake decode is splitmix64 replicated
+with HUGEINT-mod-2^64 arithmetic.
 """
 
 from __future__ import annotations
