@@ -72,3 +72,69 @@ def test_bowtie_plan_is_window_free_jvm_only(spark):
     res = bowtie_decomposition(df)
     assert python_nodes(res.regions) == []
     assert "Window" not in simple_plan(res.regions)
+
+
+def _py_bowtie(edges, n):
+    """Pure-Python oracle: closures by BFS, regions per Broder definitions."""
+    from collections import defaultdict
+    fwd, bwd = defaultdict(set), defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            fwd[s].add(d)
+            bwd[d].add(s)
+
+    def reach(srcs, adj):
+        seen, stack = set(srcs), list(srcs)
+        while stack:
+            v = stack.pop()
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        return seen
+
+    # SCCs via double reachability (fine at test size)
+    sccs = {}
+    for v in range(n):
+        mutual = reach([v], fwd) & reach([v], bwd)
+        sccs[v] = min(mutual)
+    sizes = defaultdict(int)
+    for lab in sccs.values():
+        sizes[lab] += 1
+    core_lab = min(sorted(sizes, key=lambda l: (-sizes[l], l))[:1])
+    core = {v for v, l in sccs.items() if l == core_lab}
+    f, b = reach(core, fwd), reach(core, bwd)
+    outs, ins = f - core, b - core
+    fin, bout = reach(ins, fwd), reach(outs, bwd)
+    regions = {}
+    for v in range(n):
+        if v in core:
+            regions[v] = "CORE"
+        elif v in ins:
+            regions[v] = "IN"
+        elif v in outs:
+            regions[v] = "OUT"
+        elif v in fin and v in bout:
+            regions[v] = "TUBE"
+        elif v in fin or v in bout:
+            regions[v] = "TENDRIL"
+        else:
+            regions[v] = "DISCONNECTED"
+    return core_lab, len(core), regions
+
+
+def test_bowtie_matches_python_oracle_random(spark):
+    import numpy as np
+    # denser graphs: few condensation layers, so the SCC peel
+    # (documented O(chain) worst case) stays to a few rounds
+    for seed, n, m in [(1, 25, 75), (2, 30, 90)]:
+        rng = np.random.default_rng(seed)
+        edges = list({(int(a), int(b)) for a, b in
+                      zip(rng.integers(0, n, m), rng.integers(0, n, m))})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        res = bowtie_decomposition(df, universe=spark.range(n))
+        assert res.converged, seed
+        lab, size, want = _py_bowtie(edges, n)
+        assert (res.core_label, res.core_size) == (lab, size), seed
+        got = {r.id: r.region for r in res.regions.collect()}
+        assert got == want, seed
