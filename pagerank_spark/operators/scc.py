@@ -10,7 +10,9 @@ Parallel Algorithms for Strongly Connected Components", IPDPS 2014):
 
   repeat on the active subgraph:
     1. trim    — vertices with zero in- or zero out-degree are singleton
-                 SCCs; peel them (cascades handled by later rounds).
+                 SCCs; peel them, LOOPING the cheap trim to its own
+                 fixpoint so DAG regions dissolve layer by layer before
+                 any expensive fixpoint runs (FW-BW-Trim).
     2. fwd     — hash-min fixpoint along edges: f(v) = min id of any
                  vertex that reaches v (including v).
     3. bwd     — hash-min fixpoint against edges: b(v) = min id v reaches.
