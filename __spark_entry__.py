@@ -1542,6 +1542,33 @@ GROUP BY dd.src
 """
 
 
+def q_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact degree quantile/max summary (graphstats.
+    degree_quantiles) — the skew numbers that size salting (K2/K4)."""
+    from pagerank_spark.operators.graphstats import degree_quantiles
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    return degree_quantiles(e, universe=uni)
+
+
+SQL_DEGREE_QUANTILES = f"""
+WITH {_E_SQL}, {_U_SQL}, {_OD_SQL},
+idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst),
+degs AS (SELECT coalesce(od.c, 0) AS od, coalesce(idg.c, 0) AS idg
+         FROM u LEFT JOIN od ON od.id = u.id LEFT JOIN idg ON idg.id = u.id)
+SELECT round(quantile_cont(od, 0.5), 6) AS out_p50,
+       round(quantile_cont(od, 0.9), 6) AS out_p90,
+       round(quantile_cont(od, 0.99), 6) AS out_p99,
+       max(od) AS out_max,
+       round(quantile_cont(idg, 0.5), 6) AS in_p50,
+       round(quantile_cont(idg, 0.9), 6) AS in_p90,
+       round(quantile_cont(idg, 0.99), 6) AS in_p99,
+       max(idg) AS in_max
+FROM degs
+"""
+
+
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram + integer CCDF (operators/graphstats.py) over
     the full vertex universe (danglers in the deg=0 bucket)."""
@@ -2631,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "degree_distribution": q_degree_distribution,
+        "degree_quantiles": q_degree_quantiles,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
@@ -2748,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "coupling": _pairs_oracle_sql("dst", "src", COCITE_CAP, COCITE_K),
         "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
         "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+        "degree_quantiles": SQL_DEGREE_QUANTILES,
         "ppr_batch": _ppr_batch_oracle_sql(PR_ITERS),
         # e2e extraction rows: the expected edge/anchor lists unroll
         # driver-side from the F1 generative rule as VALUES literals, so

@@ -144,3 +144,36 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         F.col("r").alias("m_reciprocated"),
         (F.col("r") / F.col("m")).alias("reciprocity"),
     )
+
+
+def degree_quantiles(edges: DataFrame, universe: DataFrame | None = None,
+                     probs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """One-row exact out/in-degree quantile + max summary — the skew
+    numbers that size the engine's salting threshold and partition counts
+    (K2/K4). Linear-interpolated exact percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``), so the row is oracle-checkable.
+
+    Scale: two V-scale degree aggregates; the percentile aggregate's
+    state is O(distinct degree values) <= max degree — bounded by page
+    size on the out side of the webtext tier.
+    """
+    e = edges.select("src", "dst")
+    if universe is None:
+        universe = (e.select(F.col("src").alias("id"))
+                    .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    else:
+        universe = universe.select("id")
+    od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("idg"))
+    degs = (universe.join(od, "id", "left").join(idg, "id", "left")
+            .select(F.coalesce("od", F.lit(0)).alias("od"),
+                    F.coalesce("idg", F.lit(0)).alias("idg")))
+    aggs = []
+    for col in ("od", "idg"):
+        side = "out" if col == "od" else "in"
+        for p in probs:
+            tag = f"p{round(p * 100)}"
+            aggs.append(F.round(F.percentile(F.col(col), F.lit(p)), 6)
+                        .alias(f"{side}_{tag}"))
+        aggs.append(F.max(col).alias(f"{side}_max"))
+    return degs.agg(*aggs)

@@ -148,3 +148,18 @@ def test_coreness_clique_with_tail(spark):
     df = spark.createDataFrame(clique + chain, "src long, dst long")
     got = {r.id: r.core for r in coreness(df).cores.collect()}
     assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1}
+
+
+def test_degree_quantiles_exact(spark):
+    import numpy as np
+    from pagerank_spark.operators.graphstats import degree_quantiles
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_quantiles(df, universe=spark.range(5)).first()
+    out_degs = np.array([3, 1, 1, 0, 1])   # vertices 0..4
+    in_degs = np.array([1, 1, 2, 2, 0])
+    assert row.out_max == 3 and row.in_max == 2
+    assert abs(row.out_p50 - np.percentile(out_degs, 50)) < 1e-9
+    assert abs(row.out_p90 - np.percentile(out_degs, 90)) < 1e-9
+    assert abs(row.in_p50 - np.percentile(in_degs, 50)) < 1e-9
+    assert abs(row.in_p99 - np.percentile(in_degs, 99)) < 1e-9
