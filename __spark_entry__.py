@@ -2634,7 +2634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
         "graph_dangling": q_graph_dangling,
-        "graph_degree_bins": q_graph_degree_bins,
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
         "pagerank_personalized": q_pagerank_personalized,
@@ -2655,11 +2654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "clustering_coefficient": q_clustering_coefficient,
-        "graph_assortativity": q_graph_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
-        "graph_reciprocity": q_graph_reciprocity,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -2703,6 +2700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "customers_without_orders": q_customers_without_orders,
         "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
+        # moved to the tail to keep every not-yet-driver-scored query in
+        # the first 50 positions (all three are double-green since r01/r02)
+        "graph_degree_bins": q_graph_degree_bins,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
     }
 
 
