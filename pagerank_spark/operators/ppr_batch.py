@@ -51,6 +51,21 @@ def personalized_pagerank_batch(
     verts = graph.vertices.select("id", "is_dangling")
     sp = (seed_sets.select("sid", "id", "p")
           .join(verts.select("id"), "id", "leftsemi"))
+    # validate EVERY input sid before renormalizing (mirrors pagerank()'s
+    # init_ranks guard): a sid whose surviving p sums to <= 0 / NaN / inf
+    # would silently emit NULL ranks via the /tp division, and a sid whose
+    # seeds all miss the vertex universe would silently vanish from the
+    # output. The audit is one job over the (small, k-row) per-sid sums.
+    audit = (seed_sets.select("sid").distinct()
+             .join(sp.groupBy("sid").agg(F.sum("p").alias("tp")),
+                   "sid", "left"))
+    bad = [r["sid"] for r in audit.filter(
+        F.col("tp").isNull() | F.isnan("tp")
+        | (F.col("tp") <= 0) | (F.col("tp") == float("inf"))).collect()]
+    if bad:
+        raise ValueError(
+            "degenerate seed sets (no in-universe seeds, or teleport mass "
+            f"not finite and > 0) for sids: {sorted(bad)[:20]}")
     tot = sp.groupBy("sid").agg(F.sum("p").alias("tp"))
     teleport = (sp.join(tot, "sid")
                 .select("sid", "id", (F.col("p") / F.col("tp")).alias("p"))

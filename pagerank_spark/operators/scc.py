@@ -128,6 +128,11 @@ def strongly_connected_components(
     settled = spark.createDataFrame([], "id long, scc long")
     active_v, active_e = verts, e
     rounds, converged = 0, False
+    # active-vertex count at entry to the current round's trim loop; the
+    # first round pays one count job, later rounds get it for free from an
+    # observation riding the settle step's checkpoint (keeping it stale
+    # across rounds guaranteed one extra no-op trim pass per outer round:
+    # the settle shrank active_v, so the first trim pass could never match)
     prev_nv = verts.count()
     for rounds in range(1, max_rounds + 1):
         # 1. trim TO FIXPOINT (FW-BW-Trim, Slota et al. 2014): each pass
@@ -214,10 +219,16 @@ def strongly_connected_components(
         done = pair.filter(F.col("label") == F.col("blabel")) \
                    .select("id", F.col("label").alias("scc"))
         settled = settled.unionAll(done).localCheckpoint(eager=True)
-        remaining = pair.filter(F.col("label") != F.col("blabel")) \
-                        .select("id").localCheckpoint(eager=True)
+        obs_r = Observation(f"scc_remaining_{rounds}")
+        remaining = (pair.filter(F.col("label") != F.col("blabel"))
+                     .select("id")
+                     .observe(obs_r, F.count(F.lit(1)).alias("n"))
+                     .localCheckpoint(eager=True))
         active_v.unpersist()
         active_v = remaining
+        # reset the trim-fixpoint comparison to the post-settle count so
+        # next round's first trim pass can detect an immediate fixpoint
+        prev_nv = int(obs_r.get["n"] or 0)
         fwd.unpersist()
         bwd.unpersist()
 

@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _resolve_files(spark: SparkSession, path: str) -> list[str]:
+    """Files matched by ``path`` (a file, glob, or directory) in
+    lexicographic order — shard 0 carries the size header by convention.
+    Resolved driver-side via the Hadoop FS API so the same enumeration
+    serves both the header read and the body scan."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None or len(statuses) == 0:
+        raise FileNotFoundError(path)
+    files = sorted(s.getPath().toString() for s in statuses if s.isFile())
+    if not files:
+        files = sorted(
+            s.getPath().toString()
+            for s in fs.listStatus(statuses[0].getPath()) if s.isFile())
+        if not files:
+            raise FileNotFoundError(f"no files under {path}")
+    return files
+
+
 def _head_lines(spark: SparkSession, path: str,
                 max_lines: int = 100_000) -> list[str]:
     """Leading lines of ``path`` up to and including the first non-comment,
@@ -33,22 +54,12 @@ def _head_lines(spark: SparkSession, path: str,
     distributed job. Globs/directories resolve to their first file in
     lexicographic order (shard 0 carries the header by convention)."""
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(jpath)
-    if statuses is None or len(statuses) == 0:
-        raise FileNotFoundError(path)
-    files = sorted((s.getPath() for s in statuses if s.isFile()),
-                   key=lambda p: p.toString())
-    if not files:
-        files = sorted(
-            (s.getPath() for s in fs.listStatus(statuses[0].getPath())
-             if s.isFile()),
-            key=lambda p: p.toString())
-        if not files:
-            raise FileNotFoundError(f"no files under {path}")
+    files = _resolve_files(spark, path)
+    fs = jvm.org.apache.hadoop.fs.Path(files[0]).getFileSystem(
+        spark._jsc.hadoopConfiguration())
     reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(files[0]), "UTF-8"))
+        jvm.java.io.InputStreamReader(
+            fs.open(jvm.org.apache.hadoop.fs.Path(files[0])), "UTF-8"))
     lines: list[str] = []
     try:
         for _ in range(max_lines):
@@ -67,21 +78,31 @@ def _head_lines(spark: SparkSession, path: str,
 
 def _body_lines(spark: SparkSession, path: str) -> DataFrame:
     """(line string) = the data lines of the file(s): ``%``-comment lines
-    and the first remaining line per file (the size header) are dropped
-    INSIDE the JVM CSV parser (``comment='%'`` + ``header=True``); the
-    ``\\x01`` delimiter never occurs in these formats, so each line lands
-    as one string column. No PythonRDD / SerializeFromObject in the plan
-    (pinned by tests via plans.inspect.python_nodes)."""
-    return (
-        spark.read
-        .option("comment", "%")
-        .option("header", True)
-        .option("delimiter", "\x01")
-        .option("quote", "")
-        .schema("line string")
-        .csv(path)
-        .filter(F.trim("line") != "")
-    )
+    are dropped INSIDE the JVM CSV parser (``comment='%'``) and the size
+    header is dropped from SHARD 0 ONLY (``header=True`` on the first file
+    of the lexicographic listing, ``header=False`` on the rest — a plain
+    per-path ``header=True`` would silently eat the first real edge row of
+    every headerless shard of a multi-file input). The ``\\x01`` delimiter
+    never occurs in these formats, so each line lands as one string
+    column. No PythonRDD / SerializeFromObject in the plan (pinned by
+    tests via plans.inspect.python_nodes)."""
+    files = _resolve_files(spark, path)
+
+    def scan(paths: list[str], header: bool) -> DataFrame:
+        return (
+            spark.read
+            .option("comment", "%")
+            .option("header", header)
+            .option("delimiter", "\x01")
+            .option("quote", "")
+            .schema("line string")
+            .csv(paths)
+        )
+
+    body = scan(files[:1], True)
+    if len(files) > 1:
+        body = body.unionAll(scan(files[1:], False))
+    return body.filter(F.trim("line") != "")
 
 
 def read_edge_list(spark: SparkSession, path: str) -> tuple[DataFrame, int]:

@@ -228,3 +228,42 @@ def test_cli_round3_algos_dispatch(spark, tmp_path, g6_file):
         rc = main([g6_file, str(out), "6", "--algo", algo, "--k", "3"])
         assert rc == 0, algo
         assert spark.read.parquet(str(out)).count() >= min_rows, algo
+
+
+def test_read_edge_list_multi_file_keeps_shard_first_rows(spark, tmp_path):
+    """Multi-file input: only shard 0 carries the size header; the first
+    DATA line of every other shard must survive (a naive per-file
+    header=True silently ate one real edge per headerless shard)."""
+    d = tmp_path / "sharded"
+    d.mkdir()
+    half = len(synth.G6_EDGES) // 2
+    shard0 = [f"6 {len(synth.G6_EDGES)}"]
+    shard0 += [f"{s + 1} {d_ + 1}" for s, d_ in synth.G6_EDGES[:half]]
+    shard1 = [f"{s + 1} {d_ + 1}" for s, d_ in synth.G6_EDGES[half:]]
+    (d / "part-00000.txt").write_text("\n".join(shard0) + "\n")
+    (d / "part-00001.txt").write_text("\n".join(shard1) + "\n")
+    edges, n = read_edge_list(spark, str(d))
+    assert n == 6
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    assert got == sorted(synth.G6_EDGES)
+
+
+def test_ppr_batch_degenerate_seed_sets_raise(spark):
+    """A sid with no in-universe seeds (or zero teleport mass) must raise,
+    not vanish from the output / emit NULL ranks."""
+    import pytest as _pytest
+
+    from pagerank_spark.operators.graph import build_graph as _bg
+    from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch
+
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in synth.G6_EDGES], "src long, dst long")
+    g = _bg(spark, edges)
+    seeds = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 999, 1.0), (2, 1, 0.0)],
+        "sid long, id long, p double")
+    with _pytest.raises(ValueError, match=r"sids: \[1, 2\]"):
+        personalized_pagerank_batch(g, seeds, iterations=1)
+    ok = personalized_pagerank_batch(
+        g, seeds.filter("sid = 0"), iterations=1)
+    assert ok.filter("rank IS NULL").count() == 0
