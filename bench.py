@@ -123,12 +123,18 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.community import modularity
     from pagerank_spark.operators.graphstats import (avg_neighbor_degree,
                                                      degree_distribution)
-    from pagerank_spark.operators.neighborhood import closeness_centrality_exact
+    from pagerank_spark.operators.neighborhood import closeness_centrality
     from pagerank_spark.operators.truss import edge_support, k_truss
     timed("edge_support", lambda: noop(edge_support(edges)))
     timed("k_truss_4", lambda: noop(k_truss(edges, k=4).edges))
+    # the front door dispatches by projected pair-state volume; at bench
+    # scale it picks the HyperANF sketch plan (O(V·2^b) state) — the same
+    # plan a 10^12-edge run gets, so the measured plan IS the scale plan
+    # (round-3 verdict item 1; the exact pair-table mode remains the
+    # sf0.01 oracle path in __spark_entry__.py)
     timed("closeness_3h",
-          lambda: noop(closeness_centrality_exact(edges, max_t=3).scores))
+          lambda: noop(closeness_centrality(edges, max_t=3,
+                                            mode="auto").scores))
     timed("lpa_modularity", lambda: noop(modularity(
         edges, label_propagation(edges, max_rounds=3).labels)))
     from pagerank_spark.operators.labelprop import seeded_label_propagation
@@ -220,17 +226,39 @@ def main() -> None:
     best = {k: min(t[k] for t in all_timings) for k in all_timings[0]}
     # pagerank stats from the rep with the fastest converged run
     pr_stats = max(all_pr, key=lambda p: p["edges_per_sec_per_iter"])
-    total = round(sum(best.values()), 3)
+    # headline value = the best FULL-SUITE total a single rep actually
+    # achieved (min over reps of the rep's sum) — not the sum of per-query
+    # minima, which is a composite no one run produced; that sum ships
+    # separately as sum_of_query_bests
+    suite_walls = [round(sum(t.values()), 3) for t in all_timings]
+    total = min(suite_walls)
+    # raw per-rep timings go to a file, NOT stdout: the driver parses the
+    # final stdout line through a bounded tail window, so keep it compact
+    # (headline + per-query bests only)
+    raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "bench_lastrun_raw.json")
+    try:
+        os.makedirs(os.path.dirname(raw_path), exist_ok=True)
+        with open(raw_path, "w") as f:
+            json.dump({"reps": all_timings, "pagerank_full": all_pr,
+                       "suite_walls": suite_walls, "sf": sf, "cpus": cpus},
+                      f, indent=1)
+    except OSError:
+        pass
     print(json.dumps({
-        "metric": "pagerank_spark suite wall time (headline: pagerank edges/sec/iter to 1e-6)",
+        "metric": ("pagerank_spark best full-suite wall (headline: pagerank "
+                   "edges/sec/iter to 1e-6; queries = per-query best of "
+                   f"{len(all_timings)} reps)"),
         "value": total,
         "unit": "sec",
         "queries": best,
+        "sum_of_query_bests": round(sum(best.values()), 3),
+        "suite_walls": suite_walls,
         "sf": sf,
         "cpus": cpus,
-        "reps": all_timings,
         "pagerank": pr_stats,
         "pagerank_reps": [p["edges_per_sec_per_iter"] for p in all_pr],
+        "raw_reps_file": "BENCH/bench_lastrun_raw.json",
     }))
 
 

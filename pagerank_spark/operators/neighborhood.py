@@ -561,6 +561,58 @@ def closeness_centrality_hll(
     return ClosenessResult(scores=scores, rounds=rounds, converged=converged)
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    max_t: int = 8,
+    universe: DataFrame | None = None,
+    direction: str = "in",
+    mode: str = "auto",
+    state_budget: int = 2_000_000,
+    b: int = 6,
+    rel_tol: float = 1e-4,
+) -> ClosenessResult:
+    """Front door: Wasserman-Faust closeness, dispatching between the exact
+    pair-table plan and the HyperANF sketch plan by PROJECTED STATE SIZE —
+    the same degree-adaptive routing the reference applies to its kernels
+    (/root/reference/PageRankLightSpMV.cu:63-105: pick the plan the input's
+    shape can afford, don't run the small-input plan at scale).
+
+    ``mode='exact'`` / ``'hll'`` force a plan. ``'auto'`` runs one probe
+    hop of the exact growth (a single gather join + distinct — the cheapest
+    honest estimate of ball volume) and projects the final pair-table state
+    as V · g^max_t with g the measured mean ball growth of hop 1, capped at
+    V². Projection within ``state_budget`` rows → exact (it is the truth
+    and its constants are lower); beyond it → HLL, whose state is O(V·2^b)
+    regardless of ball volume. At 10^12 edges the projection overflows any
+    budget after hop 1, so auto IS the sketch plan there; the exact plan
+    survives as the small-graph/oracle path.
+
+    Exact-mode results carry (n_reached, dist_sum) as exact integers; HLL
+    results estimate them (rel. std. err. ~1.04/sqrt(2^b))."""
+    if mode not in ("auto", "exact", "hll"):
+        raise ValueError(f"mode must be auto|exact|hll, got {mode!r}")
+    if mode == "auto":
+        e = _directed(edges, direction).localCheckpoint(eager=True)
+        verts = _verts(e, universe)
+        n_v = verts.count()
+        if n_v == 0:
+            mode = "exact"
+        else:
+            # probe: |{(v, r) : dist(v, r) <= 1}| = V + distinct edges
+            s1 = float(n_v) + float(e.count())
+            growth = s1 / float(n_v)
+            projected = float(n_v) * min(growth ** max_t, float(n_v))
+            mode = "exact" if projected <= state_budget else "hll"
+        e.unpersist()
+    if mode == "exact":
+        return closeness_centrality_exact(edges, max_t=max_t,
+                                          universe=universe,
+                                          direction=direction)
+    return closeness_centrality_hll(edges, max_t=max_t, b=b,
+                                    universe=universe, direction=direction,
+                                    rel_tol=rel_tol)
+
+
 def distance_stats(counts: list[float], alpha: float = 0.9) -> dict:
     """Effective diameter (interpolated, Boldi-Vigna convention) and mean
     finite-pair distance from a neighborhood function N(0..T)."""

@@ -177,3 +177,45 @@ def test_closeness_hll_tracks_exact(spark):
              for r in closeness_centrality_hll(
                  df, max_t=32, b=6, universe=spark.range(n)).scores.collect()}
     assert got == again
+
+
+def test_closeness_front_door_dispatch(spark):
+    """mode='auto' routes by projected pair-table state: a tight budget
+    forces the HLL plan (schema carries *_est estimates), a loose one the
+    exact plan (exact integer columns). Both come out of the ONE front
+    door the bench measures — the dispatched plan is the measured plan."""
+    from pagerank_spark.operators.neighborhood import closeness_centrality
+
+    n, m = 60, 240
+    df = spark.createDataFrame(_random_edges(n, m, 21), "src long, dst long")
+    uni = spark.range(n)
+    ex = closeness_centrality(df, max_t=6, universe=uni, mode="auto",
+                              state_budget=10_000_000)
+    assert "n_reached" in ex.scores.columns          # exact plan chosen
+    ap = closeness_centrality(df, max_t=6, universe=uni, mode="auto",
+                              state_budget=100)
+    assert "n_reached_est" in ap.scores.columns      # HLL plan chosen
+    with pytest.raises(ValueError):
+        closeness_centrality(df, mode="both")
+
+
+def test_closeness_hll_state_is_linear_on_hub(spark):
+    """Skewed-hub fixture: a star where every spoke reaches every other
+    spoke through the hub in 2 hops — exact pair state is ~V^2 while the
+    sketch table stays exactly V rows (one fixed-width sketch per vertex),
+    and auto dispatch picks the sketch plan under a V^2-excluding budget."""
+    from pagerank_spark.operators.neighborhood import closeness_centrality
+
+    n = 400  # V^2 = 160k pair rows vs V = 400 sketch rows
+    edges = [(i, n, ) for i in range(n)] + [(n, i) for i in range(n)]
+    df = spark.createDataFrame(
+        [(s, d) for s, d in edges], "src long, dst long")
+    res = closeness_centrality(df, max_t=4, mode="auto", state_budget=5_000)
+    assert "n_reached_est" in res.scores.columns     # sketch plan dispatched
+    rows = res.scores.count()
+    assert rows == n + 1                             # state rows = V, not V·B(t)
+    # every spoke reaches all n+1 vertices within 2 hops (direction='in'
+    # counts who reaches v — symmetric on this star): estimates near n+1
+    est = {r.id: r.n_reached_est for r in res.scores.collect()}
+    for v, e in est.items():
+        assert abs(e - n) / n < 0.35, (v, e)
