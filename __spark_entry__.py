@@ -1870,14 +1870,23 @@ FROM g GROUP BY user_id
 """
 
 
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_without_urgent_orders(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Anti-join / EXCEPT surface. The predicate ('no 1-URGENT order')
+    exists so the query returns rows on the driver fixture: the plain
+    'no orders at all' variant matched trivially on 0 rows at sf0.01
+    (every customer has orders there) — a green that could never fail."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.exceptAll(orders.distinct()).distinct()
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return cust.exceptAll(urgent.distinct()).distinct()
 
 
-SQL_CUSTOMERS_WITHOUT_ORDERS = """
-SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
@@ -2624,63 +2633,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so that queries WITHOUT prior driver-correctness evidence
-    # (round-3 additions, and the four the round-2 driver run never
-    # reached) sit in the first 50 positions — CORRECTNESS_r02 stopped at
-    # exactly 50 entries, so if the driver harness caps or time-boxes the
-    # run, the unproven rows get scored first and the long-green
-    # relational/docs rows are the ones at risk of truncation.
+    # ORDERING CONTRACT (documented per round-3 advice): the driver's
+    # per-round correctness harness scores the FIRST 50 entries. With 72
+    # queries, 22 go unscored every round, so the order rotates by
+    # evidence freshness — entries come first when they (a) were not
+    # scored last round, (b) had their implementation changed this round,
+    # or (c) are new this round; entries with current driver-green rows
+    # absorb the truncation. Goal: every query holds a driver-green row
+    # no older than one round. The groups below are labelled; rotate them
+    # again next round.
     return {
-        "graph_degrees": q_graph_degrees,
-        "graph_edge_weights": q_graph_edge_weights,
-        "graph_dangling": q_graph_dangling,
-        "pagerank_3iter": q_pagerank_3iter,
-        "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
-        "pagerank_personalized": q_pagerank_personalized,
-        "pagerank_converged": q_pagerank_converged,
-        "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
-        "connected_components": q_connected_components,
-        "label_propagation": q_label_propagation,
-        "seeded_labelprop": q_seeded_labelprop,
-        "triangle_count": q_triangle_count,
-        "triangles_per_vertex": q_triangles_per_vertex,
-        "hits_3iter": q_hits_3iter,
-        "bfs_hops": q_bfs_hops,
-        "k_core_44": q_k_core,
-        "coreness": q_coreness,
-        "scc": q_scc,
-        "bowtie": q_bowtie,
-        "neighborhood_function": q_neighborhood_function,
-        "harmonic_centrality": q_harmonic_centrality,
-        "closeness_centrality": q_closeness_centrality,
-        "clustering_coefficient": q_clustering_coefficient,
-        "avg_neighbor_degree": q_avg_neighbor_degree,
-        "degree_distribution": q_degree_distribution,
-        "degree_quantiles": q_degree_quantiles,
-        "graph_contraction": q_graph_contraction,
-        "host_pagerank_3iter": q_host_pagerank_3iter,
-        "trustrank_spam_mass": q_trustrank_spam_mass,
-        "salsa_3iter": q_salsa_3iter,
-        "link_prediction": q_link_prediction,
-        "betweenness": q_betweenness,
-        "cocitation": q_cocitation,
-        "coupling": q_coupling,
-        "edge_support": q_edge_support,
-        "k_truss": q_k_truss,
-        "lpa_modularity": q_lpa_modularity,
-        "ppr_batch": q_ppr_batch,
-        "anchor_text_index": q_anchor_text_index,
-        "streaming_edge_ingest": q_streaming_edge_ingest,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "url_normalize": q_url_normalize,
-        "pagerank_mc": q_pagerank_mc,
-        "node2vec_walks": q_node2vec_walks,
-        "similarity_topk_cosine": q_similarity_topk_cosine,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "streaming_hourly_rollup": q_streaming_hourly_rollup,
-        "multimodal_features": q_multimodal_features,
+        # -- group 1: not scored by the r03 driver run (positions 51-72
+        #    there; all have repo-local MATCH evidence, need driver rows)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2698,13 +2662,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionization": q_events_sessionization,
-        "customers_without_orders": q_customers_without_orders,
+        "customers_without_urgent_orders": q_customers_without_urgent_orders,
         "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
-        # moved to the tail to keep every not-yet-driver-scored query in
-        # the first 50 positions (all three are double-green since r01/r02)
         "graph_degree_bins": q_graph_degree_bins,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
+        # -- group 2: implementation touched in round 4 (adjacency index,
+        #    scc trim reset, ppr seed validation, closeness front door)
+        "node2vec_walks": q_node2vec_walks,
+        "pagerank_mc": q_pagerank_mc,
+        "scc": q_scc,
+        "ppr_batch": q_ppr_batch,
+        "closeness_centrality": q_closeness_centrality,
+        # -- group 3: r03 driver-green, refreshed while slots remain
+        "graph_degrees": q_graph_degrees,
+        "graph_edge_weights": q_graph_edge_weights,
+        "graph_dangling": q_graph_dangling,
+        "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_converged": q_pagerank_converged,
+        "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "seeded_labelprop": q_seeded_labelprop,
+        "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "hits_3iter": q_hits_3iter,
+        "bfs_hops": q_bfs_hops,
+        "k_core_44": q_k_core,
+        "coreness": q_coreness,
+        "bowtie": q_bowtie,
+        "neighborhood_function": q_neighborhood_function,
+        "harmonic_centrality": q_harmonic_centrality,
+        "clustering_coefficient": q_clustering_coefficient,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "degree_distribution": q_degree_distribution,
+        # -- group 4 (tail, beyond the driver's 50): r03 driver-green rows,
+        #    unchanged this round — they carry the truncation
+        "degree_quantiles": q_degree_quantiles,
+        "graph_contraction": q_graph_contraction,
+        "host_pagerank_3iter": q_host_pagerank_3iter,
+        "trustrank_spam_mass": q_trustrank_spam_mass,
+        "salsa_3iter": q_salsa_3iter,
+        "link_prediction": q_link_prediction,
+        "betweenness": q_betweenness,
+        "cocitation": q_cocitation,
+        "coupling": q_coupling,
+        "edge_support": q_edge_support,
+        "k_truss": q_k_truss,
+        "lpa_modularity": q_lpa_modularity,
+        "anchor_text_index": q_anchor_text_index,
+        "streaming_edge_ingest": q_streaming_edge_ingest,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "url_normalize": q_url_normalize,
+        "similarity_topk_cosine": q_similarity_topk_cosine,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "streaming_hourly_rollup": q_streaming_hourly_rollup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2752,7 +2769,7 @@ def oracle_sql() -> dict[str, str]:
         "window_top_orders": SQL_WINDOW_TOP_ORDERS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "events_sessionization": SQL_EVENTS_SESSIONS,
-        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "customers_without_urgent_orders": SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
         "distinct_custkeys_per_priority": SQL_DISTINCT_CUSTKEYS,
         "docs_text_profile": _docs_profile_sql(),
         "docs_exact_duplicates": SQL_DOCS_EXACT_DUPES,
