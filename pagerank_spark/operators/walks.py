@@ -10,9 +10,9 @@ partitioning and any cluster size, and the whole generator is expressible
 in ANSI SQL for oracle checking (the same determinism discipline as the
 engine's MinHash pipeline).
 
-Scale shape: the adjacency index is built once — one row_number window
-over the edge table partitioned by src (the same src-grouped layout the
-cached PageRank edge table uses) — and each step is two hash-joins:
+Scale shape: the adjacency index is built once — a banded two-level
+prefix sum (see ``adjacency_index``), so no single task ranks a hub's
+whole adjacency — and each step is two hash-joins:
 walker-state x out-degree (V-scale both sides) then walker-state x
 adjacency on the composite (src, idx) key (E-scale build side, equi-join,
 no fan-out: exactly one neighbor row matches per walker). State never
@@ -31,17 +31,58 @@ from pyspark.sql import functions as F
 from pagerank_spark.operators.dedup import shared_hash60
 
 
-def adjacency_index(edges: DataFrame) -> DataFrame:
-    """(src, idx, dst, deg): neighbors of each source numbered 0..deg-1 in
+def adjacency_index(edges: DataFrame, n_bands: int = 1024) -> DataFrame:
+    """(src, dst, idx, deg): neighbors of each source numbered 0..deg-1 in
     sorted-dst multiset order. Duplicate edges keep their multiplicity —
     a doubled link is twice as likely to be walked, matching the edge
-    multiplicities that weight PageRank transitions."""
-    w = Window.partitionBy("src").orderBy("dst")
-    return edges.select("src", "dst").select(
-        "src", "dst",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
-    )
+    multiplicities that weight PageRank transitions.
+
+    Scale shape — a distributed two-level prefix sum, so no task ever
+    ranks a hub's whole adjacency (the K2 salting discipline applied to
+    full ranking, where hash salts don't work because rank needs an
+    ORDER-PARTITIONING split; dst-value bands provide one):
+
+      1. multiplicity per (src, dst) — one hash aggregate with map-side
+         combine (never a window over raw edge rows);
+      2. local running sum inside (src, band), band = a dst-value range
+         bucket, so a hub's D neighbors spread over ~``n_bands`` window
+         partitions of ~D/n_bands rows instead of one D-row sort;
+      3. per-band totals -> band base offsets via a window over ≤ n_bands
+         rows per src;
+      4. idx = band offset + local cum − multiplicity + position, the
+         multiplicity unrolled with one sequence-explode.
+
+    The output is invariant to ``n_bands`` (bands partition the dst
+    ORDER, so offsets compose exactly); the DuckDB oracle stays the plain
+    single-window row_number. Adversarial worst case — all of a hub's
+    neighbors inside one band's value range — degrades to the single-sort
+    plan, bounded by span/n_bands of the id space."""
+    e = edges.select("src", "dst")
+    cnt = e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    span = e.agg(F.min("dst").alias("lo"), F.max("dst").alias("hi")).first()
+    if span["lo"] is None:
+        return e.sparkSession.createDataFrame(
+            [], "src long, dst long, idx int, deg long")
+    lo, hi = int(span["lo"]), int(span["hi"])
+    width = max(1, (hi - lo) // n_bands + 1)
+    band = F.floor((F.col("dst") - F.lit(lo)) / F.lit(width)).cast("int")
+    w_local = Window.partitionBy("src", "band").orderBy("dst")
+    local = (cnt.withColumn("band", band)
+             .withColumn("lcum", F.sum("c").over(w_local)))
+    band_tot = local.groupBy("src", "band").agg(F.sum("c").alias("bt"))
+    w_band = Window.partitionBy("src").orderBy("band")
+    offs = band_tot.select(
+        "src", "band", (F.sum("bt").over(w_band) - F.col("bt")).alias("boff"))
+    deg = cnt.groupBy("src").agg(F.sum("c").alias("deg"))
+    start = (local.join(offs, ["src", "band"]).join(deg, "src")
+             .withColumn("first_idx",
+                         F.col("boff") + F.col("lcum") - F.col("c")))
+    return start.select(
+        "src", "dst", "deg",
+        F.explode(F.sequence(
+            F.col("first_idx"),
+            F.col("first_idx") + F.col("c") - 1)).alias("idx"),
+    ).select("src", "dst", F.col("idx").cast("int").alias("idx"), "deg")
 
 
 def random_walks(

@@ -204,3 +204,27 @@ def test_node2vec_rejects_bad_params(spark):
         node2vec_walks(df, p=0)
     with pytest.raises(ValueError):
         node2vec_walks(df, p=5000.0)
+
+
+def test_adjacency_index_band_invariance_and_hub(spark):
+    """The banded two-level prefix sum must reproduce the plain
+    single-window row_number ranking for ANY n_bands (bands partition the
+    dst order, so offsets compose exactly) — including a hub whose
+    adjacency spans many bands and duplicate edges keeping multiplicity."""
+    import random
+
+    rng = random.Random(7)
+    hub_edges = [(99, d) for d in rng.sample(range(0, 100_000), 500)]
+    dup_edges = [(1, 5), (1, 5), (1, 2), (2, 7)]
+    e = spark.createDataFrame(hub_edges + dup_edges, "src long, dst long")
+    want = {}  # plain ranking oracle, computed in Python
+    by_src = {}
+    for s, d in hub_edges + dup_edges:
+        by_src.setdefault(s, []).append(d)
+    for s, ds in by_src.items():
+        for i, d in enumerate(sorted(ds)):
+            want[(s, i)] = (d, len(ds))
+    for nb in (1, 7, 1024):
+        got = {(r.src, r.idx): (r.dst, r.deg)
+               for r in adjacency_index(e, n_bands=nb).collect()}
+        assert got == want, f"n_bands={nb}"
