@@ -382,6 +382,54 @@ def _seeded_lp_oracle_sql(rounds: int, n_seeds: int) -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
 
 
+WLP_W = "1 + (src * 7 + dst) % 5"   # integer edge-quality weight, 1..5
+
+
+def q_weighted_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (labelprop.weighted_label_propagation):
+    per round each vertex takes the label with the largest total incident
+    edge weight; weights are a deterministic 1..5 quality score so both
+    engines sum exactly."""
+    from pagerank_spark.operators.labelprop import weighted_label_propagation
+    g = _graph(spark, sf_dir)
+    we = _edges(spark, sf_dir).select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") * 7 + F.col("dst")) % 5).alias("w"))
+    return weighted_label_propagation(
+        we, universe=g.vertices.select("id"), max_rounds=LP_ROUNDS).labels
+
+
+def _weighted_labelprop_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous weighted LP: argmax of summed incident weight,
+    ties -> min label. The undirected weight of {a,b} is the sum of w over
+    every parallel row in either direction (self-loops dropped)."""
+    parts = [
+        _E_SQL, _U_SQL,
+        f"we AS (SELECT src, dst, {WLP_W} AS w FROM e)",
+        "ws AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b, "
+        "sum(w)::DOUBLE AS w FROM we WHERE src <> dst GROUP BY 1, 2)",
+        "wsym AS (SELECT a AS src, b AS dst, w FROM ws "
+        "UNION ALL SELECT b, a, w FROM ws)",
+        "l0 AS (SELECT id, id AS label FROM u)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"n{k} AS (SELECT wsym.src AS id, l.label, wsym.w FROM wsym "
+            f"JOIN l{p} l ON l.id = wsym.dst)")
+        parts.append(
+            f"cnt{k} AS (SELECT id, label, sum(w) AS c FROM n{k} GROUP BY id, label)")
+        parts.append(
+            f"b{k} AS (SELECT id, label AS new_label FROM "
+            f"(SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1)")
+        parts.append(
+            f"l{k} AS (SELECT l.id, coalesce(b.new_label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN b{k} b ON b.id = l.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, label FROM l{rounds}")
+
+
 def _labelprop_parts(rounds: int) -> list[str]:
     """CTE chain of the unrolled synchronous LP (shared by the plain LP
     oracle and the modularity-of-LP oracle); final labels in l{rounds}."""
@@ -943,6 +991,54 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
         "adj AS (SELECT src, dst, "
         "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
         "count(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "dgw AS (SELECT DISTINCT src, deg FROM adj)",
+        f"s0 AS (SELECT u.id AS start_id, w.r AS walk, 0 AS step, "
+        f"u.id AS vertex FROM u CROSS JOIN ({rs}) w)",
+    ]
+    for k in range(1, length + 1):
+        h = (f"('0x' || substr(md5(s.start_id || ':' || s.walk || ':{k}:' "
+             f"|| s.vertex || ':{seed}'), 1, 15))::BIGINT")
+        parts.append(
+            f"s{k} AS (SELECT s.start_id, s.walk, {k} AS step, a.dst AS vertex "
+            f"FROM s{k - 1} s JOIN dgw d ON d.src = s.vertex "
+            f"JOIN adj a ON a.src = s.vertex AND a.idx = ({h} % d.deg))")
+    union = " UNION ALL ".join(
+        f"SELECT start_id, walk, step, vertex FROM s{k}"
+        for k in range(length + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+WW_W = "1 + (src + dst) % 3"   # integer anchor-quality walk weight, 1..3
+
+
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased walk corpus (walks.random_walks weight_col): an edge
+    of integer weight w owns w slots of the adjacency index, so the
+    deterministic hash pick lands on it with probability w/Σw — exact
+    integer arithmetic, no float cumsum, same SQL-reproducible machinery
+    as the uniform corpus."""
+    from pagerank_spark.operators.walks import random_walks
+    we = _edges(spark, sf_dir).select(
+        "src", "dst", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).alias("w"))
+    return random_walks(we, walk_length=WALK_LEN, walks_per_vertex=WALKS_R,
+                        seed=WALK_SEED, weight_col="w")
+
+
+def _weighted_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
+    """The uniform-walk oracle over the weight-EXPANDED adjacency: each
+    (src,dst) contributes sum(w) index slots (unnest(generate_series)),
+    deg = Σw per src — mirroring adjacency_index(weight_col=...)."""
+    rs = " UNION ALL ".join(
+        f"SELECT {i} AS r" if i == 0 else f"SELECT {i}"
+        for i in range(walks_r))
+    parts = [
+        _E_SQL, _U_SQL,
+        f"we AS (SELECT src, dst, {WW_W} AS w FROM e)",
+        "wcnt AS (SELECT src, dst, sum(w)::BIGINT AS c FROM we GROUP BY src, dst)",
+        "units AS (SELECT src, dst, unnest(generate_series(1, c)) AS g FROM wcnt)",
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst, g) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM units)",
         "dgw AS (SELECT DISTINCT src, deg FROM adj)",
         f"s0 AS (SELECT u.id AS start_id, w.r AS walk, 0 AS step, "
         f"u.id AS vertex FROM u CROSS JOIN ({rs}) w)",
@@ -2634,8 +2730,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 72
-    # queries, 22 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With 74
+    # queries, 24 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) were not
     # scored last round, (b) had their implementation changed this round,
     # or (c) are new this round; entries with current driver-green rows
@@ -2667,8 +2763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_bins": q_graph_degree_bins,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
-        # -- group 2: implementation touched in round 4 (adjacency index,
-        #    scc trim reset, ppr seed validation, closeness front door)
+        # -- group 2: new in round 4 or implementation touched in round 4
+        #    (adjacency index, scc trim reset, ppr seed validation,
+        #    closeness front door, weighted LP/walks)
+        "weighted_labelprop": q_weighted_labelprop,
+        "weighted_walks": q_weighted_walks,
         "node2vec_walks": q_node2vec_walks,
         "pagerank_mc": q_pagerank_mc,
         "scc": q_scc,
@@ -2738,6 +2837,8 @@ def oracle_sql() -> dict[str, str]:
             p_sql=f"(CASE WHEN u.id < {PPR_SEEDS} THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END)"),
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
+        "weighted_labelprop": _weighted_labelprop_oracle_sql(LP_ROUNDS),
+        "weighted_walks": _weighted_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-algo knob: kcore degree threshold, walks per "
                         "vertex (walks), top-k (linkpred/covisit), per-hop "
                         "fan-out (sample)")
+    p.add_argument("--weight-col", default=None,
+                   help="edge weight column (e.g. 'w' from a valued Matrix "
+                        "Market or parquet input): labelprop propagates by "
+                        "total incident weight; walks pick neighbors "
+                        "weight-proportionally (integer weights)")
     return p
 
 
@@ -82,19 +87,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("pagerank_cli", cpus=args.cpus)
 
+    raw_edges = None   # pre-normalization table; carries --weight-col
     if args.format == "edgelist":
         edges, n = read_edge_list(spark, args.input)
+        raw_edges = edges
         graph = build_graph(spark, edges, n_vertices=n)
     elif args.format == "mm":
         edges, n = read_matrix_market(spark, args.input, values=args.mm_values)
+        raw_edges = edges
         graph = build_graph(spark, edges, n_vertices=n)
     elif args.format == "parquet":
-        graph = build_graph(spark, spark.read.parquet(args.input))
+        raw_edges = spark.read.parquet(args.input)
+        graph = build_graph(spark, raw_edges)
     else:
         graph = graph_from_pages(spark, spark.read.parquet(args.input))
 
     if args.algo != "pagerank":
-        return _run_algo(spark, graph, args)
+        return _run_algo(spark, graph, args, raw_edges)
 
     ckpt = SuperstepCheckpointer(spark, args.checkpoint_dir)
     res = pagerank(
@@ -117,9 +126,18 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _run_algo(spark, graph, args) -> int:
+def _run_algo(spark, graph, args, raw_edges=None) -> int:
     """Dispatch the non-PageRank algorithms; result table written as parquet."""
     edges = graph.edges.select("src", "dst")
+    if args.weight_col:
+        # --weight-col reads the RAW input weights (graph.edges carries the
+        # P9 row-NORMALIZED w, which is neither the link weight labelprop
+        # wants nor the integer weight walks require)
+        if raw_edges is None or args.weight_col not in raw_edges.columns:
+            raise SystemExit(
+                f"--weight-col {args.weight_col!r} not present in this "
+                f"input (valued Matrix Market or parquet edge table needed)")
+        edges = raw_edges.select("src", "dst", args.weight_col)
     universe = graph.vertices.select("id")
     if args.algo == "components":
         from pagerank_spark.operators.components import connected_components
@@ -127,9 +145,16 @@ def _run_algo(spark, graph, args) -> int:
                                    max_rounds=args.max_iteration)
         out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
     elif args.algo == "labelprop":
-        from pagerank_spark.operators.labelprop import label_propagation
-        res = label_propagation(edges, universe=universe,
-                                max_rounds=args.max_iteration)
+        if args.weight_col:
+            from pagerank_spark.operators.labelprop import \
+                weighted_label_propagation
+            res = weighted_label_propagation(
+                edges, universe=universe, max_rounds=args.max_iteration,
+                weight_col=args.weight_col)
+        else:
+            from pagerank_spark.operators.labelprop import label_propagation
+            res = label_propagation(edges, universe=universe,
+                                    max_rounds=args.max_iteration)
         out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
     elif args.algo == "triangles":
         from pagerank_spark.operators.triangles import local_clustering_coefficient
@@ -169,7 +194,8 @@ def _run_algo(spark, graph, args) -> int:
     elif args.algo == "walks":
         from pagerank_spark.operators.walks import random_walks
         out = random_walks(edges, walk_length=args.max_iteration,
-                           walks_per_vertex=args.k)
+                           walks_per_vertex=args.k,
+                           weight_col=args.weight_col)
         tail = f"walk_length={args.max_iteration} walks_per_vertex={args.k}"
     elif args.algo == "betweenness":
         from pagerank_spark.operators.betweenness import betweenness

@@ -86,6 +86,77 @@ def label_propagation(
                            converged=converged)
 
 
+def weighted_label_propagation(
+    edges: DataFrame,
+    universe: DataFrame | None = None,
+    max_rounds: int = 20,
+    weight_col: str = "w",
+) -> LabelPropResult:
+    """Label propagation over a WEIGHTED undirected graph: per round each
+    vertex takes the label with the largest total incident edge weight
+    among its neighbors (ties -> smallest label) — anchor-quality or
+    link-count weighted community detection for the webtext tier, where a
+    heavily-linked neighbor should pull harder than a stray link.
+
+    Undirected collapse: weight({a,b}) = Σ ``weight_col`` over ALL parallel
+    rows in either direction (self-loops dropped), so a doubled link
+    counts double — the categorical analogue of the reference's P9
+    row-sum weight normalization (lightSpMV/PageRank.h:256-274).
+
+    Determinism/oracle note: the argmax tie-break compares summed weights
+    for exact equality, so weights should be exactly summable (integers,
+    or doubles with exact binary representations) for cross-engine
+    value-hash parity. Round shape matches ``label_propagation``: two
+    hash-aggregate shuffles, no window, O(E)+O(V) state — the 100-TB plan
+    is unchanged, only COUNT becomes SUM(w).
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("double").alias("w"))
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+    )
+    sym = sym.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionAll(
+        sym.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    if universe is not None:
+        vertices = vertices.unionAll(universe.select("id")).distinct()
+    vertices = vertices.localCheckpoint(eager=True)
+
+    labels = vertices.select("id", F.col("id").alias("label"))
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        neigh = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label", "w")
+        counts = neigh.groupBy("id", "label").agg(F.sum("w").alias("c"))
+        best = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("s")
+        ).select("id", (-F.col("s.nl")).alias("new_label"))
+        obs = Observation(f"wlp_changed_{rounds}")
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label"),
+                (F.col("new_label") != F.col("label")).cast("int").alias("chg"))
+            .observe(obs, F.sum("chg").alias("changed"))
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["changed"] or 0)
+        if rounds > 1:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    return LabelPropResult(labels=labels.select("id", "label"), rounds=rounds,
+                           converged=converged)
+
+
 def seeded_label_propagation(
     edges: DataFrame,
     seeds: DataFrame,

@@ -31,11 +31,21 @@ from pyspark.sql import functions as F
 from pagerank_spark.operators.dedup import shared_hash60
 
 
-def adjacency_index(edges: DataFrame, n_bands: int = 1024) -> DataFrame:
+def adjacency_index(edges: DataFrame, n_bands: int = 1024,
+                    weight_col: str | None = None) -> DataFrame:
     """(src, dst, idx, deg): neighbors of each source numbered 0..deg-1 in
     sorted-dst multiset order. Duplicate edges keep their multiplicity —
     a doubled link is twice as likely to be walked, matching the edge
     multiplicities that weight PageRank transitions.
+
+    ``weight_col`` (small POSITIVE INTEGERS, e.g. an anchor-quality score
+    1..K) generalizes multiplicity: an edge of weight w occupies w index
+    slots, so a uniform pick over [0, deg) lands on it with probability
+    w/Σw — weight-proportional transitions through the exact same integer
+    machinery, still SQL-reproducible (no float cumulative sums whose
+    addition order could differ across engines). deg becomes Σw and the
+    index fan-out is Σw per source, so weights belong in a small range
+    (validated by ``random_walks``), not raw counts.
 
     Scale shape — a distributed two-level prefix sum, so no task ever
     ranks a hub's whole adjacency (the K2 salting discipline applied to
@@ -57,8 +67,12 @@ def adjacency_index(edges: DataFrame, n_bands: int = 1024) -> DataFrame:
     single-window row_number. Adversarial worst case — all of a hub's
     neighbors inside one band's value range — degrades to the single-sort
     plan, bounded by span/n_bands of the id space."""
-    e = edges.select("src", "dst")
-    cnt = e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
+    else:
+        e = edges.select("src", "dst",
+                         F.col(weight_col).cast("long").alias("_w"))
+    cnt = e.groupBy("src", "dst").agg(F.sum("_w").alias("c"))
     span = e.agg(F.min("dst").alias("lo"), F.max("dst").alias("hi")).first()
     if span["lo"] is None:
         return e.sparkSession.createDataFrame(
@@ -85,12 +99,16 @@ def adjacency_index(edges: DataFrame, n_bands: int = 1024) -> DataFrame:
     ).select("src", "dst", F.col("idx").cast("int").alias("idx"), "deg")
 
 
+MAX_WALK_WEIGHT = 10_000  # index fan-out per edge; keeps Σw ~ O(E)
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 8,
     walks_per_vertex: int = 1,
     seed: int = 42,
     starts: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Generate walks; returns ``(start_id, walk, step, vertex)`` rows.
 
@@ -99,8 +117,24 @@ def random_walks(
     the start itself. The neighbor picked at step k is
     ``H(start:walk:k:cur:seed) mod out_deg(cur)`` with H the cross-engine
     60-bit md5 hash — deterministic and SQL-reproducible.
+
+    ``weight_col``: integer edge weights 1..MAX_WALK_WEIGHT (e.g. an
+    anchor-quality score) bias the pick weight-proportionally via the
+    weighted adjacency index — ``deg`` becomes Σw and an edge of weight w
+    owns w index slots, so determinism and the SQL oracle carry over
+    unchanged (exact integer arithmetic, no float cumsum).
     """
-    adj = adjacency_index(edges).localCheckpoint(eager=True)
+    if weight_col is not None:
+        wb = edges.agg(F.min(weight_col).alias("lo"),
+                       F.max(weight_col).alias("hi")).first()
+        if wb["lo"] is not None and (
+                wb["lo"] < 1 or wb["hi"] > MAX_WALK_WEIGHT
+                or any(v != int(v) for v in (wb["lo"], wb["hi"]))):
+            raise ValueError(
+                f"walk weights must be integers in [1, {MAX_WALK_WEIGHT}]; "
+                f"got range [{wb['lo']}, {wb['hi']}]")
+    adj = adjacency_index(
+        edges, weight_col=weight_col).localCheckpoint(eager=True)
     deg = adj.select("src", "deg").distinct()
     if starts is None:
         starts = (

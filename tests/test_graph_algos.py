@@ -112,3 +112,61 @@ def test_degree_orientation_bounds_hub_fanout(spark):
     per_v_id = {r.id: r.triangles
                 for r in triangles_per_vertex(df, order_by_degree=False).collect()}
     assert per_v == per_v_id
+
+
+def weighted_lp_oracle(wedges, n, max_iter):
+    """Synchronous weighted LP: label with max total incident weight,
+    ties -> smallest label; undirected weight sums both directions."""
+    wmap = {}
+    for s, d, w in wedges:
+        if s == d:
+            continue
+        key = (min(s, d), max(s, d))
+        wmap[key] = wmap.get(key, 0) + w
+    nbrs = {}
+    for (a, b), w in wmap.items():
+        nbrs.setdefault(a, []).append((b, w))
+        nbrs.setdefault(b, []).append((a, w))
+    labels = list(range(n))
+    for _ in range(max_iter):
+        nxt = list(labels)
+        changed = False
+        for v in range(n):
+            tot = {}
+            for u, w in nbrs.get(v, ()):
+                lab = labels[u]
+                tot[lab] = tot.get(lab, 0) + w
+            if tot:
+                best = max(tot.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                if best != labels[v]:
+                    nxt[v] = best
+                    changed = True
+        labels = nxt
+        if not changed:
+            break
+    return labels
+
+
+def test_weighted_labelprop_hand_case(spark):
+    from pagerank_spark.operators.labelprop import weighted_label_propagation
+
+    # vertex 2 sees label 0 with weight 1 and label 1 with weight 5:
+    # unweighted LP ties to min (0); weight must pull it to 1
+    wedges = [(0, 2, 1), (1, 2, 5)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    res = weighted_label_propagation(df, universe=spark.range(3), max_rounds=1)
+    got = {r.id: r.label for r in res.labels.collect()}
+    assert got[2] == 1
+
+
+@pytest.mark.parametrize("n,m,tag", [(100, 250, 21), (60, 400, 22)])
+def test_weighted_labelprop_random_exact(spark, n, m, tag):
+    from pagerank_spark.operators.labelprop import weighted_label_propagation
+
+    edges = _random_edges(n, m, tag)
+    wedges = [(s, d, 1 + (s * 7 + d) % 5) for s, d in edges]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    res = weighted_label_propagation(df, universe=spark.range(n), max_rounds=6)
+    got = {r.id: r.label for r in res.labels.collect()}
+    want = weighted_lp_oracle(wedges, n, max_iter=6)
+    assert got == {i: want[i] for i in range(n)}

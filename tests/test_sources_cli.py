@@ -267,3 +267,32 @@ def test_ppr_batch_degenerate_seed_sets_raise(spark):
     ok = personalized_pagerank_batch(
         g, seeds.filter("sid = 0"), iterations=1)
     assert ok.filter("rank IS NULL").count() == 0
+
+
+def test_cli_weighted_labelprop_and_walks(spark, tmp_path):
+    """--weight-col flows a valued Matrix Market's w column into the
+    weighted labelprop and weight-biased walks dispatches."""
+    from pagerank_spark.cli import main
+    mtx = tmp_path / "wlp.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "4 4 4\n"
+        "1 3 1.0\n"
+        "2 3 5.0\n"
+        "3 4 2.0\n"
+        "4 1 1.0\n")
+    out = tmp_path / "cli_wlp"
+    rc = main([str(mtx), str(out), "1", "--format", "mm", "--mm-values",
+               "--algo", "labelprop", "--weight-col", "w"])
+    assert rc == 0
+    got = {r.id: r.label for r in spark.read.parquet(str(out)).collect()}
+    # vertex 2 (0-based) sees label 0 w=1 vs label 1 w=5 -> weight wins
+    assert got[2] == 1
+
+    out2 = tmp_path / "cli_wwalks"
+    rc = main([str(mtx), str(out2), "3", "--format", "mm", "--mm-values",
+               "--algo", "walks", "--k", "2", "--weight-col", "w"])
+    assert rc == 0
+    df = spark.read.parquet(str(out2))
+    assert set(df.columns) == {"start_id", "walk", "step", "vertex"}
+    assert df.count() > 0

@@ -228,3 +228,66 @@ def test_adjacency_index_band_invariance_and_hub(spark):
         got = {(r.src, r.idx): (r.dst, r.deg)
                for r in adjacency_index(e, n_bands=nb).collect()}
         assert got == want, f"n_bands={nb}"
+
+
+def weighted_walks_oracle(wedges, walk_length, walks_per_vertex, seed):
+    """Uniform-walk oracle over the weight-expanded adjacency: an edge of
+    weight w owns w consecutive slots of the sorted-dst index."""
+    adj = defaultdict(list)
+    for s, d, w in wedges:
+        adj[s].append((d, w))
+    slots = {}
+    for s in adj:
+        lst = []
+        for d, w in sorted(adj[s]):
+            lst.extend([d] * w)
+        slots[s] = lst
+    starts = sorted({v for s, d, _ in wedges for v in (s, d)})
+    rows = set()
+    for v0 in starts:
+        for r in range(walks_per_vertex):
+            cur = v0
+            rows.add((v0, r, 0, v0))
+            for k in range(1, walk_length + 1):
+                sl = slots.get(cur)
+                if not sl:
+                    break
+                cur = sl[_h60(f"{v0}:{r}:{k}:{cur}:{seed}") % len(sl)]
+                rows.add((v0, r, k, cur))
+    return rows
+
+
+WEDGES = [(0, 1, 1), (0, 2, 3), (1, 3, 2), (2, 0, 1), (2, 3, 5),
+          (3, 4, 1), (5, 0, 2), (0, 2, 2)]
+# duplicate 0->2 rows: weights ADD (3+2=5 slots), 4 dangling
+
+
+def test_weighted_walks_match_python_oracle(spark):
+    e = spark.createDataFrame(WEDGES, "src long, dst long, w long")
+    res = random_walks(e, walk_length=6, walks_per_vertex=3, seed=7,
+                       weight_col="w")
+    got = {(r.start_id, r.walk, r.step, r.vertex) for r in res.collect()}
+    assert got == weighted_walks_oracle(WEDGES, 6, 3, 7)
+
+
+def test_weighted_adjacency_index_slots(spark):
+    e = spark.createDataFrame(WEDGES, "src long, dst long, w long")
+    got = defaultdict(list)
+    for r in adjacency_index(e, weight_col="w").collect():
+        got[r.src].append((r.idx, r.dst, r.deg))
+    # src 0: dst 1 (w=1) then dst 2 (w=3+2=5) -> deg 6
+    s0 = sorted(got[0])
+    assert [d for _, d, _ in s0] == [1] + [2] * 5
+    assert all(deg == 6 for _, _, deg in s0)
+    assert [i for i, _, _ in s0] == list(range(6))
+
+
+def test_weighted_walks_reject_bad_weights(spark):
+    import pytest
+
+    bad0 = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        random_walks(bad0, weight_col="w")
+    huge = spark.createDataFrame([(0, 1, 1 << 40)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        random_walks(huge, weight_col="w")
