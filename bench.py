@@ -82,6 +82,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("connected_components", lambda: noop(connected_components(edges).labels))
     timed("label_propagation_3r",
           lambda: noop(label_propagation(edges, max_rounds=3).labels))
+    from pagerank_spark.operators.labelprop import weighted_label_propagation
+    wedges = edges.select(
+        "src", "dst", (F.lit(1) + (F.col("src") * 7 + F.col("dst")) % 5).alias("w"))
+    timed("weighted_labelprop_3r",
+          lambda: noop(weighted_label_propagation(wedges, max_rounds=3).labels))
     timed("triangle_count", lambda: triangle_count(edges))
     from pagerank_spark.operators.bfs import bfs_hops
     from pagerank_spark.operators.hits import hits
@@ -101,6 +106,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.walks import random_walks
     timed("salsa_3iter", lambda: noop(salsa(edges, iterations=3).scores))
     timed("random_walks_4", lambda: noop(random_walks(edges, walk_length=4)))
+    timed("weighted_walks_4", lambda: noop(random_walks(
+        wedges, walk_length=4, weight_col="w")))
     from pagerank_spark.operators.walks import (node2vec_walks,
                                                 pagerank_monte_carlo)
     timed("node2vec_walks_4",

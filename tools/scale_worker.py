@@ -61,13 +61,26 @@ def main() -> None:
         ((F.col("l_partkey") + F.col("k") * 131071) % MOD).alias("src"),
         ((F.col("l_orderkey") + F.col("k") * 524287) % MOD).alias("dst"),
     )
+    # skew knobs (SCALE_HUB_FRACTION in [0,1]): redirect a deterministic
+    # slice of edges at ONE planted hub destination, preserving edge count
+    # and src structure — a power-law head vertex whose in-degree is
+    # hub_fraction * E, far past any salting threshold
+    hub_fraction = float(os.environ.get("SCALE_HUB_FRACTION", "0"))
+    if hub_fraction > 0:
+        cut = int(hub_fraction * 1_000_000)
+        edges = edges.select(
+            "src",
+            F.when(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000)) < cut,
+                   F.lit(0)).otherwise(F.col("dst")).alias("dst"))
+    salt_threshold = int(os.environ.get("SCALE_SALT_THRESHOLD", "100000"))
     g = build_graph(spark, edges)
 
     t0 = time.monotonic()
     # pin the merge-join (at-scale) physical plan: the scaling evidence must
     # measure the strategy a 10^12-vertex run would use, not the broadcast
     # shortcut that only exists while the rank table fits on the driver
-    res = pagerank(g, alpha=0.85, tol=None, max_iter=iters, join_strategy="merge")
+    res = pagerank(g, alpha=0.85, tol=None, max_iter=iters, join_strategy="merge",
+                   salt_hot_threshold=salt_threshold)
     res.ranks.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
 
@@ -87,6 +100,8 @@ def main() -> None:
         "sec_per_iter": round(dt / res.iterations, 3),
         "median_iter_sec": round(med_ms / 1000, 3),
         "edges_per_sec_per_iter": round(g.n_edges / (med_ms / 1000), 1),
+        "hub_fraction": hub_fraction,
+        "salt_threshold": salt_threshold,
     }))
 
 
