@@ -584,6 +584,90 @@ FROM u LEFT JOIN h{iters} h ON h.id = u.id
 """)
 
 
+KATZ_ITERS = 3      # unrolled Katz iterations in the oracle
+KATZ_ALPHA = 0.1
+KATZ_BETA = 1.0
+
+
+def q_katz_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (operators/katz.py) after 3 fixed synchronous
+    iterations x_t = beta + alpha * A^T x_{t-1}, x_0 = beta; the oracle
+    unrolls the identical +/x trajectory, so the 6-decimal grid matches
+    exactly."""
+    from pagerank_spark.operators.katz import katz_centrality
+    g = _graph(spark, sf_dir)
+    res = katz_centrality(_edges(spark, sf_dir), alpha=KATZ_ALPHA,
+                          beta=KATZ_BETA, max_iter=KATZ_ITERS,
+                          universe=g.vertices.select("id"))
+    return res.scores.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _katz_oracle_sql(iters: int) -> str:
+    """Unrolled Katz: per iteration one edge-gather + affine update."""
+    # CAST-to-DOUBLE throughout: DuckDB's 0.1 literal is DECIMAL, which
+    # would propagate exact-decimal arithmetic (and a DECIMAL output
+    # column) where the engine computes binary doubles
+    parts = [_E_SQL, _U_SQL,
+             f"x0 AS (SELECT id, CAST({KATZ_BETA} AS DOUBLE) AS katz FROM u)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"g{k} AS (SELECT e.dst AS id, sum(x.katz) AS c FROM e "
+            f"JOIN x{p} x ON x.id = e.src GROUP BY e.dst)")
+        parts.append(
+            f"x{k} AS (SELECT u.id, CAST({KATZ_BETA} AS DOUBLE) "
+            f"+ CAST({KATZ_ALPHA} AS DOUBLE) * coalesce(g.c, CAST(0 AS DOUBLE)) "
+            f"AS katz FROM u LEFT JOIN g{k} g ON g.id = u.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(katz, 6) AS katz FROM x{iters}")
+
+
+REDIR_MAX_HOPS = 8  # resolves chains <= 8 hops in 3 doubling rounds
+
+# functional redirect rule over the vertex universe: ids = 0 (mod 8) are
+# terminals, 1..5 chain downward one id per hop, 6/7 form a 2-cycle (or a
+# 1-hop resolve when the partner id is absent from u) — chains, terminals,
+# and genuine cycles all present at every SF
+_REDIR_RULE = ("CASE WHEN id % 8 BETWEEN 1 AND 5 THEN id - 1 "
+               "WHEN id % 8 = 6 THEN id + 1 ELSE id - 1 END")
+
+
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): pointer-doubling
+    to the terminal target over a functional redirect graph synthesized
+    from the vertex universe; cycle members surface resolved=false. The
+    oracle unrolls the same log2(max_hops) self-join rounds."""
+    from pagerank_spark.operators.redirects import resolve_redirects
+    g = _graph(spark, sf_dir)
+    r = g.vertices.filter(F.col("id") % 8 != 0).select(
+        "id",
+        F.expr(_REDIR_RULE).alias("ptr"))
+    res = resolve_redirects(r, max_hops=REDIR_MAX_HOPS,
+                            src_col="id", dst_col="ptr")
+    return res.targets.select("id", "final_id", "resolved")
+
+
+def _redirects_oracle_sql(max_hops: int) -> str:
+    """Unrolled pointer doubling: s0 = one hop + terminal test, then
+    ceil(log2(max_hops)) rounds of compose-with-self."""
+    parts = [_E_SQL, _U_SQL,
+             f"r AS (SELECT id, {_REDIR_RULE} AS ptr FROM u WHERE id % 8 <> 0)",
+             "s0 AS (SELECT r.id, r.ptr, h.id IS NULL AS done "
+             "FROM r LEFT JOIN r h ON r.ptr = h.id)"]
+    k, budget = 0, 1
+    while budget < max_hops:
+        k += 1
+        budget *= 2
+        p = k - 1
+        parts.append(
+            f"s{k} AS (SELECT s.id, "
+            f"CASE WHEN s.done OR n.id IS NULL THEN s.ptr ELSE n.ptr END AS ptr, "
+            f"(s.done OR n.id IS NULL OR n.done) AS done "
+            f"FROM s{p} s LEFT JOIN s{p} n ON s.ptr = n.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, ptr AS final_id, done AS resolved FROM s{k}")
+
+
 BTW_SOURCES = 8   # sampled Brandes sources = the 8 smallest vertex ids
 BTW_DEPTH = 3     # truncation depth (the derived graph's reach is 3 hops)
 
@@ -2768,6 +2852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    closeness front door, weighted LP/walks)
         "weighted_labelprop": q_weighted_labelprop,
         "weighted_walks": q_weighted_walks,
+        "katz_3iter": q_katz_3iter,
+        "resolve_redirects": q_resolve_redirects,
         "node2vec_walks": q_node2vec_walks,
         "pagerank_mc": q_pagerank_mc,
         "scc": q_scc,
@@ -2839,6 +2925,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _labelprop_oracle_sql(LP_ROUNDS),
         "weighted_labelprop": _weighted_labelprop_oracle_sql(LP_ROUNDS),
         "weighted_walks": _weighted_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
+        "katz_3iter": _katz_oracle_sql(KATZ_ITERS),
+        "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
         "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,

@@ -92,6 +92,16 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.hits import hits
     from pagerank_spark.operators.kcore import k_core
     timed("hits_3iter", lambda: noop(hits(edges, iterations=3).scores))
+    from pagerank_spark.operators.katz import katz_centrality
+    timed("katz_3iter",
+          lambda: noop(katz_centrality(edges, alpha=0.1, max_iter=3).scores))
+    from pagerank_spark.operators.redirects import resolve_redirects
+    redir = g.vertices.filter(F.col("id") % 8 != 0).select(
+        "id", F.expr("CASE WHEN id % 8 BETWEEN 1 AND 5 THEN id - 1 "
+                     "WHEN id % 8 = 6 THEN id + 1 ELSE id - 1 END").alias("ptr"))
+    timed("resolve_redirects",
+          lambda: noop(resolve_redirects(redir, max_hops=8, src_col="id",
+                                         dst_col="ptr").targets))
     timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
     timed("k_core_5", lambda: noop(k_core(edges, k=5, max_rounds=8).vertices))
     from pagerank_spark.operators.coreness import coreness

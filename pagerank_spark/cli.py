@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "salsa", "walks", "betweenness", "linkpred",
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
-                            "mcpagerank", "node2vec", "seededlp"],
+                            "mcpagerank", "node2vec", "seededlp", "katz",
+                            "redirects"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -65,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-algo knob: kcore degree threshold, walks per "
                         "vertex (walks), top-k (linkpred/covisit), per-hop "
                         "fan-out (sample)")
+    p.add_argument("--p", dest="n2v_p", type=float, default=1.0,
+                   help="node2vec return parameter (--algo node2vec)")
+    p.add_argument("--q", dest="n2v_q", type=float, default=1.0,
+                   help="node2vec in-out parameter (--algo node2vec)")
     p.add_argument("--weight-col", default=None,
                    help="edge weight column (e.g. 'w' from a valued Matrix "
                         "Market or parquet input): labelprop propagates by "
@@ -251,8 +256,10 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
     elif args.algo == "node2vec":
         from pagerank_spark.operators.walks import node2vec_walks
         out = node2vec_walks(edges, walk_length=args.max_iteration,
-                             walks_per_vertex=args.k)
-        tail = f"walk_length={args.max_iteration} walks_per_vertex={args.k}"
+                             walks_per_vertex=args.k,
+                             p=args.n2v_p, q=args.n2v_q)
+        tail = (f"walk_length={args.max_iteration} walks_per_vertex={args.k} "
+                f"p={args.n2v_p} q={args.n2v_q}")
     elif args.algo == "seededlp":
         from pagerank_spark.operators.labelprop import seeded_label_propagation
         seeds = spark.createDataFrame(
@@ -261,6 +268,19 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         res = seeded_label_propagation(edges, seeds, universe=universe,
                                        max_rounds=args.max_iteration)
         out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "katz":
+        from pagerank_spark.operators.katz import katz_centrality
+        res = katz_centrality(edges, alpha=min(args.alpha, 0.99), beta=1.0,
+                              max_iter=args.max_iteration,
+                              tol=args.tol if args.tol > 0 else None,
+                              universe=universe, weight_col=args.weight_col)
+        out, tail = res.scores, (f"iterations={res.iterations} "
+                                 f"converged={res.converged}")
+    elif args.algo == "redirects":
+        from pagerank_spark.operators.redirects import resolve_redirects
+        # the (src, dst) input IS the redirect map here
+        res = resolve_redirects(edges, max_hops=args.max_iteration)
+        out, tail = res.targets, f"rounds={res.rounds}"
     elif args.algo == "mcpagerank":
         from pagerank_spark.operators.walks import pagerank_monte_carlo
         out = pagerank_monte_carlo(edges, alpha=args.alpha,

@@ -43,6 +43,7 @@ def sample_neighbors(
     fanouts: list[int],
     seed: int = 42,
     n_salts: int = 32,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Sampled k-hop expansion; returns ``(hop, src, dst)`` edge rows.
 
@@ -50,12 +51,18 @@ def sample_neighbors(
     ``fanouts[h]`` distinct out-edges per frontier vertex; the next
     frontier is the distinct sampled destinations. ``n_salts`` splits
     each src's adjacency for the partial top-k (plan knob only — the
-    output is invariant to it).
+    output is invariant to it). ``assume_distinct`` skips the O(E)
+    dedup shuffle when the caller guarantees (src, dst) rows are already
+    unique (a warehouse edge table typically is) — at 10^12 edges that
+    shuffle costs more than the sampling itself.
     """
     spark = edges.sparkSession
     if not fanouts:
         return spark.createDataFrame([], "hop int, src long, dst long")
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     frontier = seeds.select("id").distinct().localCheckpoint(eager=True)
     w_partial = Window.partitionBy("src", "salt").orderBy("h", "dst")
     w_final = Window.partitionBy("src").orderBy("h", "dst")

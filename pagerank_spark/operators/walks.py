@@ -32,7 +32,8 @@ from pagerank_spark.operators.dedup import shared_hash60
 
 
 def adjacency_index(edges: DataFrame, n_bands: int = 1024,
-                    weight_col: str | None = None) -> DataFrame:
+                    weight_col: str | None = None,
+                    hot_threshold: int = 100_000) -> DataFrame:
     """(src, dst, idx, deg): neighbors of each source numbered 0..deg-1 in
     sorted-dst multiset order. Duplicate edges keep their multiplicity —
     a doubled link is twice as likely to be walked, matching the edge
@@ -47,50 +48,79 @@ def adjacency_index(edges: DataFrame, n_bands: int = 1024,
     index fan-out is Σw per source, so weights belong in a small range
     (validated by ``random_walks``), not raw counts.
 
-    Scale shape — a distributed two-level prefix sum, so no task ever
-    ranks a hub's whole adjacency (the K2 salting discipline applied to
-    full ranking, where hash salts don't work because rank needs an
-    ORDER-PARTITIONING split; dst-value bands provide one):
+    Scale shape — DEGREE-ADAPTIVE two-path prefix sum, the reference's
+    small/large split (K2, kernel_bblock.cu:663-692) applied to full
+    ranking. The prefix-sum window is the one gather Spark cannot rescue
+    with InferWindowGroupLimit (every row keeps a running sum — nothing
+    to push below the exchange), so a hub src would put its whole
+    adjacency through ONE window task. But banding EVERY src was measured
+    2.4x slower than the single window at 19.2M edges (the extra
+    band-total/offset exchanges touch the full table — see
+    BENCH/BASELINE.md skew campaign #3), so the split is routed per src:
 
-      1. multiplicity per (src, dst) — one hash aggregate with map-side
-         combine (never a window over raw edge rows);
-      2. local running sum inside (src, band), band = a dst-value range
-         bucket, so a hub's D neighbors spread over ~``n_bands`` window
-         partitions of ~D/n_bands rows instead of one D-row sort;
-      3. per-band totals -> band base offsets via a window over ≤ n_bands
-         rows per src;
-      4. idx = band offset + local cum − multiplicity + position, the
-         multiplicity unrolled with one sequence-explode.
+      * srcs with <= ``hot_threshold`` distinct neighbors (webtext pages
+        — out-degree bounded by page size) take the single-window plan:
+        one exchange, running sum and unbounded total in the same sort;
+      * hot srcs (found by one O(V)-row aggregate, bounded by pigeonhole
+        at E/hot_threshold ids, routed via broadcast semi/anti joins)
+        take the banded two-level plan: local running sums inside
+        (src, band) — band = a dst-value range bucket, ~D/n_bands rows
+        per window partition — then band totals -> base offsets via a
+        window over <= n_bands rows, idx composed exactly.
 
-    The output is invariant to ``n_bands`` (bands partition the dst
-    ORDER, so offsets compose exactly); the DuckDB oracle stays the plain
-    single-window row_number. Adversarial worst case — all of a hub's
-    neighbors inside one band's value range — degrades to the single-sort
-    plan, bounded by span/n_bands of the id space."""
+    The output is invariant to ``n_bands`` AND ``hot_threshold`` (bands
+    partition the dst ORDER, so offsets compose exactly); the DuckDB
+    oracle stays the plain single-window row_number. Adversarial worst
+    case — all of a hub's neighbors inside one band's value range —
+    degrades to the single-sort plan, bounded by span/n_bands of the id
+    space."""
     if weight_col is None:
         e = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
     else:
         e = edges.select("src", "dst",
                          F.col(weight_col).cast("long").alias("_w"))
     cnt = e.groupBy("src", "dst").agg(F.sum("_w").alias("c"))
-    span = e.agg(F.min("dst").alias("lo"), F.max("dst").alias("hi")).first()
-    if span["lo"] is None:
-        return e.sparkSession.createDataFrame(
-            [], "src long, dst long, idx int, deg long")
-    lo, hi = int(span["lo"]), int(span["hi"])
-    width = max(1, (hi - lo) // n_bands + 1)
-    band = F.floor((F.col("dst") - F.lit(lo)) / F.lit(width)).cast("int")
-    w_local = Window.partitionBy("src", "band").orderBy("dst")
-    local = (cnt.withColumn("band", band)
-             .withColumn("lcum", F.sum("c").over(w_local)))
-    band_tot = local.groupBy("src", "band").agg(F.sum("c").alias("bt"))
-    w_band = Window.partitionBy("src").orderBy("band")
-    offs = band_tot.select(
-        "src", "band", (F.sum("bt").over(w_band) - F.col("bt")).alias("boff"))
-    deg = cnt.groupBy("src").agg(F.sum("c").alias("deg"))
-    start = (local.join(offs, ["src", "band"]).join(deg, "src")
-             .withColumn("first_idx",
-                         F.col("boff") + F.col("lcum") - F.col("c")))
+    hot_ids = (cnt.groupBy("src").agg(F.count(F.lit(1)).alias("nd"))
+               .filter(F.col("nd") > hot_threshold)
+               .select("src").localCheckpoint(eager=True))
+    any_hot = bool(hot_ids.take(1))
+
+    def _single_window(part: DataFrame) -> DataFrame:
+        w_run = Window.partitionBy("src").orderBy("dst")
+        w_all = Window.partitionBy("src")
+        return part.select(
+            "src", "dst",
+            (F.sum("c").over(w_run) - F.col("c")).alias("first_idx"),
+            "c", F.sum("c").over(w_all).alias("deg"))
+
+    if not any_hot:
+        start = _single_window(cnt)
+    else:
+        cold = cnt.join(F.broadcast(hot_ids), "src", "left_anti")
+        hotc = cnt.join(F.broadcast(hot_ids), "src", "left_semi")
+        span = hotc.agg(F.min("dst").alias("lo"),
+                        F.max("dst").alias("hi")).first()
+        lo, hi = int(span["lo"]), int(span["hi"])
+        width = max(1, (hi - lo) // n_bands + 1)
+        band = F.floor((F.col("dst") - F.lit(lo)) / F.lit(width)).cast("int")
+        w_local = Window.partitionBy("src", "band").orderBy("dst")
+        local = (hotc.withColumn("band", band)
+                 .withColumn("lcum", F.sum("c").over(w_local)))
+        band_tot = local.groupBy("src", "band").agg(F.sum("c").alias("bt"))
+        w_band = Window.partitionBy("src").orderBy("band")
+        w_src = Window.partitionBy("src")
+        offs = band_tot.select(
+            "src", "band",
+            (F.sum("bt").over(w_band) - F.col("bt")).alias("boff"),
+            F.sum("bt").over(w_src).alias("deg"))
+        hot_start = (
+            local.join(offs, ["src", "band"])
+            .select("src", "dst",
+                    (F.col("boff") + F.col("lcum") - F.col("c"))
+                    .alias("first_idx"),
+                    "c", "deg"))
+        start = _single_window(cold).unionByName(hot_start)
+
     return start.select(
         "src", "dst", "deg",
         F.explode(F.sequence(

@@ -80,3 +80,14 @@ def test_sampling_empty_fanouts_returns_empty_frame(spark):
     res = sample_neighbors(e, seeds, [])
     assert res.count() == 0
     assert res.columns == ["hop", "src", "dst"]
+
+
+def test_sampling_assume_distinct_equivalent(spark):
+    """assume_distinct skips the dedup shuffle; on an already-distinct edge
+    table the sampled set is identical."""
+    e = spark.createDataFrame(sorted(set(EDGES)), "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    a = {tuple(r) for r in sample_neighbors(e, seeds, [3, 2], seed=7).collect()}
+    b = {tuple(r) for r in sample_neighbors(e, seeds, [3, 2], seed=7,
+                                            assume_distinct=True).collect()}
+    assert a == b and len(a) > 0

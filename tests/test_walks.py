@@ -224,10 +224,14 @@ def test_adjacency_index_band_invariance_and_hub(spark):
     for s, ds in by_src.items():
         for i, d in enumerate(sorted(ds)):
             want[(s, i)] = (d, len(ds))
-    for nb in (1, 7, 1024):
+    # (n_bands, hot_threshold) combos covering: all-cold single window
+    # (default threshold), all-hot banded (threshold 1: every src routed
+    # banded), mixed (threshold 100: only the 500-degree hub is banded)
+    for nb, thr in ((1, 1), (7, 100), (1024, 100), (1024, 100_000)):
         got = {(r.src, r.idx): (r.dst, r.deg)
-               for r in adjacency_index(e, n_bands=nb).collect()}
-        assert got == want, f"n_bands={nb}"
+               for r in adjacency_index(e, n_bands=nb,
+                                        hot_threshold=thr).collect()}
+        assert got == want, f"n_bands={nb} hot_threshold={thr}"
 
 
 def weighted_walks_oracle(wedges, walk_length, walks_per_vertex, seed):

@@ -152,8 +152,19 @@ def main() -> None:
         "",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # replace ONLY the scaling block (the file head, which contains no
+    # "## " headings); preserve every appended curated section ("## ...")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read().splitlines(keepends=True)
+        for i, ln in enumerate(old):
+            if ln.startswith("## "):
+                tail = "".join(old[i:])
+                break
     with open(path, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write(tail)
     with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as f:
         json.dump(results, f, indent=1)
     effs_s = " ".join(f"eff({k})={v:.3f}" for k, v in effs.items())
