@@ -116,14 +116,17 @@ def test_incremental_crawl_warm_start_e2e(spark, tmp_path):
 
     crawl1.coalesce(1).write.mode("append").parquet(str(land))
     drain()
-    r1 = pagerank(graph(), tol=1e-6, max_iter=150)
+    # 1e-5 keeps all three convergences ~15 supersteps shorter each than
+    # 1e-6 with the same warm<=cold semantics; the comparison threshold
+    # scales with the residual bound
+    r1 = pagerank(graph(), tol=1e-5, max_iter=150)
     assert r1.converged
 
     delta.coalesce(1).write.mode("append").parquet(str(land))
     drain()  # same checkpoint dir: only the new file is processed
     g2 = graph()
-    cold = pagerank(g2, tol=1e-6, max_iter=150)
-    warm = pagerank(g2, tol=1e-6, max_iter=150, init_ranks=r1.ranks)
+    cold = pagerank(g2, tol=1e-5, max_iter=150)
+    warm = pagerank(g2, tol=1e-5, max_iter=150, init_ranks=r1.ranks)
     assert cold.converged and warm.converged
     assert warm.iterations <= cold.iterations
     c = {r.id: r.rank for r in cold.ranks.collect()}
@@ -131,4 +134,4 @@ def test_incremental_crawl_warm_start_e2e(spark, tmp_path):
     assert set(c) == set(w)
     n = len(c)
     for i, v in c.items():
-        assert abs(v - w[i]) * n < 1e-4, i
+        assert abs(v - w[i]) * n < 1e-3, i

@@ -110,3 +110,19 @@ def test_redirect_duplicates_collapse_conflicts_raise(spark):
     bad = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
     with pytest.raises(ValueError, match="functional"):
         resolve_redirects(bad)
+
+
+def test_cli_redirects_parquet(spark, tmp_path):
+    """--algo redirects over a parquet redirect map writes resolved
+    terminal targets."""
+    from pagerank_spark.cli import main
+    src = tmp_path / "redir"
+    spark.createDataFrame([(i, i - 1) for i in range(1, 5)],
+                          "src long, dst long").write.parquet(str(src))
+    out = tmp_path / "resolved"
+    rc = main([str(src), str(out), "8", "--format", "parquet",
+               "--algo", "redirects"])
+    assert rc == 0
+    got = {r["id"]: (r["final_id"], r["resolved"])
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == {i: (0, True) for i in range(1, 5)}

@@ -48,7 +48,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     proc = subprocess.run(
         [spark_submit, "--master", "local[2]", "--py-files", str(zpath),
          str(runner), str(g6), str(out), "300",
-         "--alpha", "0.9", "--tol", "1e-10"],
+         # 1e-6 converges ~120 supersteps earlier than 1e-10 and is three
+         # orders below the 1e-3 golden assert; depth is covered in-session
+         # by test_g6_golden_alpha09
+         "--alpha", "0.9", "--tol", "1e-6"],
         cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stderr[-3000:]
     part = next(out.glob("part-*"))

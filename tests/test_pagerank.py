@@ -52,9 +52,13 @@ def test_pages_to_ranks_end_to_end(spark):
         for i in range(150)
         for u in synth.outlinks_of(i)
     ]
-    res = pagerank(g, alpha=0.85, tol=1e-8, max_iter=200)
-    want = pagerank_oracle(edges, g.n_vertices, 0.85, tol=1e-8, max_iter=200)
-    np.testing.assert_allclose(_ranks_vec(res, g.n_vertices), want, atol=1e-6)
+    # the oracle mirrors the engine superstep-for-superstep, so a fixed
+    # 20-iteration pair compares exactly; this test's point is the
+    # pages->extraction->edges stack, not convergence depth (covered by
+    # test_g6_golden_alpha09)
+    res = pagerank(g, alpha=0.85, tol=None, max_iter=20)
+    want = pagerank_oracle(edges, g.n_vertices, 0.85, tol=None, max_iter=20)
+    np.testing.assert_allclose(_ranks_vec(res, g.n_vertices), want, atol=1e-9)
 
 
 def test_mass_conservation_dangling_heavy(spark):
@@ -80,8 +84,10 @@ def test_all_dangling_graph_uniform(spark):
 def test_salting_does_not_change_results(spark):
     edges_df = synth.skew_edges(spark, 1500)
     g = build_graph(spark, edges_df, n_vertices=1500)
-    plain = pagerank(g, tol=1e-8, max_iter=40, salt_hot_threshold=10**9)
-    salted = pagerank(g, tol=1e-8, max_iter=40,
+    # plan-invariance holds per superstep — fixed iterations compare the
+    # same trajectories with a fraction of the jobs
+    plain = pagerank(g, tol=None, max_iter=8, salt_hot_threshold=10**9)
+    salted = pagerank(g, tol=None, max_iter=8,
                       salt_hot_threshold=50, salt_target_bucket=25)
     np.testing.assert_allclose(
         _ranks_vec(plain, 1500), _ranks_vec(salted, 1500), atol=1e-12
@@ -124,16 +130,16 @@ def test_fresh_run_clears_stale_checkpoints(spark, tmp_path, g6):
     otherwise a later resume loads the PREVIOUS run's higher-numbered
     superstep as its starting state."""
     d = str(tmp_path / "ck2")
-    pagerank(g6, tol=None, max_iter=12, checkpointer=SuperstepCheckpointer(spark, d))
+    pagerank(g6, tol=None, max_iter=8, checkpointer=SuperstepCheckpointer(spark, d))
     ck2 = SuperstepCheckpointer(spark, d)
-    pagerank(g6, tol=None, max_iter=5, checkpointer=ck2)  # fresh, same dir
-    assert ck2.last_committed() == 5  # iters 6..12 from run 1 are gone
+    pagerank(g6, tol=None, max_iter=3, checkpointer=ck2)  # fresh, same dir
+    assert ck2.last_committed() == 3  # iters 4..8 from run 1 are gone
     rows = ck2.load_metrics()
-    assert [m["iteration"] for m in rows] == list(range(1, 6))  # no run mixing
-    # resuming now continues run 2, ending identical to a straight 12-iter run
-    resumed = pagerank(g6, tol=None, max_iter=12,
+    assert [m["iteration"] for m in rows] == list(range(1, 4))  # no run mixing
+    # resuming now continues run 2, ending identical to a straight 8-iter run
+    resumed = pagerank(g6, tol=None, max_iter=8,
                        checkpointer=SuperstepCheckpointer(spark, d), resume=True)
-    straight = pagerank(g6, tol=None, max_iter=12)
+    straight = pagerank(g6, tol=None, max_iter=8)
     np.testing.assert_allclose(
         _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15)
 

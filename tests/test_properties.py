@@ -17,7 +17,7 @@ from pagerank_spark.operators.pagerank import pagerank
 N = 12
 EDGE = st.tuples(st.integers(0, N - 1), st.integers(0, N - 1))
 GRAPH = st.lists(EDGE, min_size=1, max_size=30)
-PROP = settings(max_examples=4, deadline=None,
+PROP = settings(max_examples=3, deadline=None,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 
@@ -28,7 +28,7 @@ def _ranks(spark, edges, n):
     # the whole suite's outlier otherwise
     g = build_graph(
         spark, spark.createDataFrame(edges, "src long, dst long"), n_vertices=n)
-    res = pagerank(g, tol=None, max_iter=12)
+    res = pagerank(g, tol=None, max_iter=9)
     out = np.zeros(n)
     for r in res.ranks.collect():
         out[r.id] = r.rank

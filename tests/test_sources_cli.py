@@ -141,13 +141,15 @@ def test_read_matrix_market_explicit_weights_feed_p9(spark, tmp_path):
     assert abs(w[(0, 1)] - 0.75) < 1e-15 and abs(w[(0, 2)] - 0.25) < 1e-15
     assert w[(1, 2)] == 1.0 and w[(2, 0)] == 1.0
 
-    res = pagerank(g, alpha=0.85, tol=1e-12, max_iter=200)
+    # fixed-budget trajectory comparison against the same 60-step NumPy
+    # loop — identical modulo fp noise, no deep convergence needed
+    res = pagerank(g, alpha=0.85, tol=None, max_iter=60)
     got = np.zeros(3)
     for r in res.ranks.collect():
         got[r.id] = r.rank
     P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
     r = np.full(3, 1 / 3)
-    for _ in range(200):
+    for _ in range(60):
         r = 0.85 * (P.T @ r) + 0.15 / 3
     np.testing.assert_allclose(got, r, atol=1e-9)
 
@@ -175,14 +177,16 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
         "2 3 2.0\n"
         "3 1 5.0\n")
     out = tmp_path / "cli_w"
-    rc = main([str(mtx), str(out), "200", "--format", "mm", "--mm-values",
-               "--tol", "1e-12"])
+    # fixed 60-superstep budget (tol<=0 -> reference fixed-budget loop)
+    # compared against the same 60-step NumPy trajectory
+    rc = main([str(mtx), str(out), "60", "--format", "mm", "--mm-values",
+               "--tol", "0"])
     assert rc == 0
     part = next(out.glob("part-*"))
     vals = np.array([float(x) for x in part.read_text().strip().splitlines()])
     P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
     r = np.full(3, 1 / 3)
-    for _ in range(200):
+    for _ in range(60):
         r = 0.85 * (P.T @ r) + 0.15 / 3
     np.testing.assert_allclose(vals / 3.0, r, atol=1e-6)
 
@@ -205,11 +209,12 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("reciprocity", [], {"m_edges", "m_reciprocated", "reciprocity"}),
     ("covisit", ["--k", "2"], {"start_id", "vertex", "visits"}),
     ("sample", ["--source", "0,2", "--k", "2"], {"hop", "src", "dst"}),
+    ("katz", [], {"id", "katz"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
     out = tmp_path / f"cli_{algo}"
-    rc = main([g6_file, str(out), "10", "--algo", algo, *extra])
+    rc = main([g6_file, str(out), "6", "--algo", algo, *extra])
     assert rc == 0
     df = spark.read.parquet(str(out))
     assert set(df.columns) == check_cols

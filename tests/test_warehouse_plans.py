@@ -35,8 +35,10 @@ def test_bucketed_reload_joins_without_edge_exchange(spark):
     scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l and "edges" in l]
     assert scan_lines, plan
     # ranks computed on the reloaded graph must equal the original build
-    a = {r.id: r.rank for r in pagerank(g, tol=1e-9, max_iter=100).ranks.collect()}
-    b = {r.id: r.rank for r in pagerank(g2, tol=1e-9, max_iter=100).ranks.collect()}
+    # same graph, different physical layout: per-superstep identity, so
+    # fixed iterations compare the same trajectories
+    a = {r.id: r.rank for r in pagerank(g, tol=None, max_iter=8).ranks.collect()}
+    b = {r.id: r.rank for r in pagerank(g2, tol=None, max_iter=8).ranks.collect()}
     np.testing.assert_allclose([a[i] for i in sorted(a)],
                                [b[i] for i in sorted(b)], atol=1e-12)
 
