@@ -622,6 +622,47 @@ def _katz_oracle_sql(iters: int) -> str:
             + f"\nSELECT id, round(katz, 6) AS katz FROM x{iters}")
 
 
+EIG_ITERS = 3       # unrolled power-iteration rounds in the oracle
+
+
+def q_eigenvector_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (operators/eigenvector.py): 3 fixed
+    L1-normalized power iterations x_t = normalize(A^T x_{t-1}), x_0 = 1;
+    scores scaled by n for a stable 6-decimal grid (same convention as the
+    HITS oracle). The oracle unrolls the identical gather/normalize
+    trajectory — sqrt-free, so both engines hold near-bit-identical
+    doubles."""
+    from pagerank_spark.operators.eigenvector import eigenvector_centrality
+    g = _graph(spark, sf_dir)
+    uni = g.vertices.select("id")
+    res = eigenvector_centrality(_edges(spark, sf_dir),
+                                 iterations=EIG_ITERS, universe=uni)
+    n = uni.count()
+    return res.scores.select(
+        "id", F.round(F.col("eig") * F.lit(float(n)), 6).alias("eig_n"))
+
+
+def _eigenvector_oracle_sql(iters: int) -> str:
+    """Unrolled power iteration: per round one edge-gather + L1 divide.
+    Vertices without in-links drop out of the state after round 1 (they
+    contribute nothing downstream), exactly like the Spark loop; the final
+    projection restores them at 0 over the universe."""
+    parts = [_E_SQL, _U_SQL,
+             "nn AS (SELECT count(*) AS n FROM u)",
+             "x0 AS (SELECT id, CAST(1 AS DOUBLE) AS eig FROM u)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"g{k} AS (SELECT e.dst AS id, sum(x.eig) AS v FROM e "
+            f"JOIN x{p} x ON x.id = e.src GROUP BY e.dst)")
+        parts.append(f"t{k} AS (SELECT sum(abs(v)) AS s FROM g{k})")
+        parts.append(f"x{k} AS (SELECT id, v / s AS eig FROM g{k}, t{k})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT u.id, round(coalesce(x.eig, 0) * nn.n, 6) AS eig_n
+FROM u LEFT JOIN x{iters} x ON x.id = u.id, nn
+""")
+
+
 REDIR_MAX_HOPS = 8  # resolves chains <= 8 hops in 3 doubling rounds
 
 # functional redirect rule over the vertex universe: ids = 0 (mod 8) are
@@ -1524,6 +1565,75 @@ md AS (SELECT a, b, min(t) AS t FROM walk GROUP BY a, b)
 SELECT CAST(ts.t AS INT) AS t, count(md.a) AS n_pairs
 FROM range(0, {NF_T + 1}) ts(t) LEFT JOIN md ON md.t <= ts.t
 GROUP BY ts.t
+"""
+
+
+def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated effective diameter (Boldi-Vigna 0.9 convention) + mean
+    finite-pair distance from the exact truncated neighborhood function
+    (operators/neighborhood.py distance_stats). The trajectory is exact
+    integer counts; the two final divisions are single IEEE ops on
+    identical operands in both engines, so the 6-decimal grid matches
+    exactly."""
+    from pagerank_spark.operators.neighborhood import (
+        distance_stats, neighborhood_function_exact)
+    e = _edges(spark, sf_dir)
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    res = neighborhood_function_exact(e, max_t=NF_T, universe=uni)
+    stats = distance_stats(res.counts, alpha=0.9)
+    return spark.createDataFrame(
+        [(int(stats["n_pairs"]), float(stats["effective_diameter"]),
+          float(stats["mean_distance"]))],
+        "n_pairs long, eff_raw double, mean_raw double",
+    ).select("n_pairs",
+             F.round("eff_raw", 6).alias("eff_diameter"),
+             F.round("mean_raw", 6).alias("mean_distance"))
+
+
+# Same recursive-walk CTEs as SQL_NEIGHBORHOOD, then the identical
+# interpolation arithmetic: target = 0.9·N(T) (same literal double), hit =
+# first t with N(t) >= target, linear interpolation between exact integer
+# counts; mean = Σ t·ΔN(t) / (N(T) - N(0)) — the numerator is an exact
+# integer (< 2^53), so summation order cannot differ between engines.
+SQL_DISTANCE_STATS = f"""
+WITH RECURSIVE {_E_SQL}, {_U_SQL},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+walk(a, b, t) AS (
+    SELECT id, id, 0 FROM u
+    UNION
+    SELECT w.a, d.dst, w.t + 1 FROM walk w JOIN d ON d.src = w.b
+    WHERE w.t < {NF_T}
+),
+md AS (SELECT a, b, min(t) AS t FROM walk GROUP BY a, b),
+nf AS (SELECT ts.t, count(md.a) AS np
+       FROM range(0, {NF_T + 1}) ts(t) LEFT JOIN md ON md.t <= ts.t
+       GROUP BY ts.t),
+tot AS (SELECT max(np) AS total FROM nf),
+n0 AS (SELECT np AS c0 FROM nf WHERE t = 0),
+tgt AS (SELECT CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE) AS target,
+               total FROM tot),
+hit AS (SELECT min(t) AS t FROM nf, tgt
+        WHERE CAST(np AS DOUBLE) >= tgt.target),
+eff AS (SELECT CASE
+            WHEN h.t = 0 THEN CAST(0 AS DOUBLE)
+            WHEN cur.np > prev.np THEN (h.t - 1)
+                + (tgt.target - CAST(prev.np AS DOUBLE))
+                  / CAST(cur.np - prev.np AS DOUBLE)
+            ELSE CAST(h.t AS DOUBLE) END AS eff_raw
+        FROM hit h CROSS JOIN tgt
+        JOIN nf cur ON cur.t = h.t
+        LEFT JOIN nf prev ON prev.t = h.t - 1),
+meanv AS (SELECT CASE WHEN tot.total > n0.c0 THEN
+                 CAST(sum(cur.t * (cur.np - prev.np)) AS DOUBLE)
+                 / CAST(tot.total - n0.c0 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS mean_raw
+          FROM nf cur JOIN nf prev ON prev.t = cur.t - 1, tot, n0
+          GROUP BY tot.total, n0.c0)
+SELECT tot.total AS n_pairs,
+       round(eff.eff_raw, 6) AS eff_diameter,
+       round(meanv.mean_raw, 6) AS mean_distance
+FROM tot, eff, meanv
 """
 
 
@@ -2685,6 +2795,76 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# embedding-cosine near-dup: same plane-matrix machinery as ANN-LSH but the
+# dedup front door (operators/dedup.py embedding_near_duplicates, tables=4)
+_EDUP_PLANES, _EDUP_TABLES, _EDUP_SEED = 16, 4, 42
+_EDUP_THRESHOLD, _EDUP_COPIES, _EDUP_DIM = 0.9, 25, 64
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a corpus with planted rescaled twins:
+    vec_id < 25 reappear at id+1000 with every component doubled —
+    cosine-invariant but byte-different, so exact dedup misses them and
+    the cosine path must find them. The full pipeline (hyperplane-LSH
+    buckets -> same-bucket candidates -> cosine verify >= 0.9 -> (a, b)
+    pairs) runs in both engines with the identical deterministic plane
+    matrix. Doubling is an exact power-of-two scale in IEEE fp, so both
+    engines hold bit-identical twins; planted cosines sit at ~1.0, the max
+    natural pair at sf0.01 is ~0.513 — nothing within ~0.38 of the 0.9
+    threshold, no fp boundary risk."""
+    from pagerank_spark.operators.dedup import embedding_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < _EDUP_COPIES).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(2.0).cast("float")).alias("embedding"))
+    corpus = emb.unionByName(twins)
+    return embedding_near_duplicates(
+        corpus, threshold=_EDUP_THRESHOLD, id_col="vec_id",
+        vec_col="embedding", planes=_EDUP_PLANES, seed=_EDUP_SEED,
+    ).select("a", "b")
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    """embedding_near_duplicates unrolled in DuckDB: plant the same doubled
+    twins, bucket by the same inlined plane matrix (sign-bit sum, like the
+    ANN-LSH oracle), same-bucket candidate pairs a < b, cosine-verify at
+    the same threshold. Only ids are output, so engine fp differences
+    would need a cosine within ~1e-15 of 0.9 to matter (planted pairs are
+    at ~1.0, natural pairs <= ~0.513)."""
+    from pagerank_spark.operators.similarity import plane_matrix
+    P = plane_matrix(_EDUP_DIM, _EDUP_PLANES, _EDUP_TABLES, _EDUP_SEED)
+    rows = []
+    for t in range(_EDUP_TABLES):
+        for p in range(_EDUP_PLANES):
+            vec = ", ".join(repr(float(x)) for x in P[t * _EDUP_PLANES + p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH pl(tbl, p, vec) AS (VALUES
+{values}
+),
+base AS (SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000,
+                list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+         FROM embeddings WHERE vec_id < {_EDUP_COPIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM base WHERE embedding IS NOT NULL),
+b AS (SELECT e.vec_id, pl.tbl AS tbl,
+             sum(CASE WHEN list_dot_product(e.v, pl.vec) >= 0
+                 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+      FROM e, pl GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM b x JOIN b y ON y.tbl = x.tbl AND y.bucket = x.bucket
+         WHERE x.vec_id < y.vec_id)
+SELECT a, b FROM cand
+JOIN e ea ON ea.vec_id = cand.a
+JOIN e eb ON eb.vec_id = cand.b
+WHERE list_cosine_similarity(ea.v, eb.v) >= CAST({_EDUP_THRESHOLD} AS DOUBLE)
+"""
+
+
 def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: drain the events parquet as a file-source
     stream through the watermarked tumbling-window rollup into a memory
@@ -2859,6 +3039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "ppr_batch": q_ppr_batch,
         "closeness_centrality": q_closeness_centrality,
+        "dedup_embedding": q_dedup_embedding,
+        "eigenvector_3iter": q_eigenvector_3iter,
+        "distance_stats": q_distance_stats,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -2926,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_labelprop": _weighted_labelprop_oracle_sql(LP_ROUNDS),
         "weighted_walks": _weighted_walks_oracle_sql(WALK_LEN, WALKS_R, WALK_SEED),
         "katz_3iter": _katz_oracle_sql(KATZ_ITERS),
+        "eigenvector_3iter": _eigenvector_oracle_sql(EIG_ITERS),
+        "distance_stats": SQL_DISTANCE_STATS,
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
@@ -2970,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "similarity_topk_cosine": SQL_SIMILARITY_TOPK,
         "similarity_ann_lsh": _ann_lsh_oracle_sql(),
+        "dedup_embedding": _dedup_embedding_oracle_sql(),
         "similarity_ann_ivf": _ann_ivf_oracle_sql(),
         # the streaming path aggregates through exact DECIMAL(18,6), so the
         # batch rollup SQL is its oracle too (same groups, same sums)

@@ -210,9 +210,19 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("decontaminate",
           lambda: noop(decontaminate_split(docs, ngram=3, min_shared=2,
                                            max_df=200)))
-    from pagerank_spark.operators.dedup import deduplicate_corpus
+    from pagerank_spark.operators.dedup import (deduplicate_corpus,
+                                                embedding_near_duplicates)
     timed("dedup_corpus",
           lambda: noop(deduplicate_corpus(docs, threshold=0.5)))
+    # embedding-cosine near-dup over corpus + doubled twins (cosine ~1.0,
+    # byte-different) — same planted shape as the dedup_embedding driver query
+    twins = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")
+                    ).alias("embedding"))
+    ecorpus = emb.select("vec_id", "embedding").unionByName(twins)
+    timed("dedup_embedding",
+          lambda: noop(embedding_near_duplicates(ecorpus, threshold=0.9)))
 
     g.unpersist()  # release the cached graph before a possible next rep
     return timings, pr_stats
