@@ -832,6 +832,54 @@ SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
+SSSP_SOURCES = 2          # seeds = the 2 smallest vertex ids (data-derived)
+SSSP_ORACLE_ROUNDS = 10   # BF fixpoint at sf0.01 is 6 (measured); extra = no-op
+# synthetic exact edge weights both engines derive identically: integers in
+# [1, 5], so every path sum is an exact double and min is unambiguous
+_SSSP_W = "1 + (src * 7 + dst * 3) % 5"
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (operators/sssp.py): frontier
+    Bellman-Ford from the 2 smallest vertex ids over exact integer-valued
+    weights; the oracle unrolls full relaxation rounds past the fixpoint
+    (MATERIALIZED CTEs — each round references the previous twice, which
+    DuckDB would otherwise inline exponentially)."""
+    from pagerank_spark.operators.sssp import shortest_paths
+    e = _edges(spark, sf_dir)
+    ew = e.select("src", "dst",
+                  F.expr(_SSSP_W).cast("double").alias("w"))
+    uni = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))).distinct()
+    seeds = uni.orderBy("id").limit(SSSP_SOURCES)
+    res = shortest_paths(ew, seeds, max_rounds=SSSP_ORACLE_ROUNDS)
+    return res.distances.select("id", "dist")
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    parts = [
+        _E_SQL, _U_SQL,
+        f"ew AS MATERIALIZED (SELECT DISTINCT src, dst, "
+        f"CAST({_SSSP_W} AS DOUBLE) AS w FROM e)",
+        f"s AS (SELECT id FROM u ORDER BY id LIMIT {SSSP_SOURCES})",
+        "d0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS dist FROM s)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT ew.dst AS id, "
+            f"min(d.dist + ew.w) AS cand "
+            f"FROM ew JOIN d{p} d ON d.id = ew.src GROUP BY ew.dst)")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(d.id, c.id) AS id, "
+            f"CASE WHEN d.dist IS NULL THEN c.cand "
+            f"WHEN c.cand IS NULL THEN d.dist "
+            f"WHEN c.cand < d.dist THEN c.cand ELSE d.dist END AS dist "
+            f"FROM d{p} d FULL JOIN c{k} c ON c.id = d.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, dist FROM d{rounds}")
+
+
 CORENESS_ORACLE_ROUNDS = 24  # h-index fixpoint at sf0.01 is 21; extra = no-op
 
 
@@ -3042,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "eigenvector_3iter": q_eigenvector_3iter,
         "distance_stats": q_distance_stats,
+        "sssp_weighted": q_sssp,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3111,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_3iter": _katz_oracle_sql(KATZ_ITERS),
         "eigenvector_3iter": _eigenvector_oracle_sql(EIG_ITERS),
         "distance_stats": SQL_DISTANCE_STATS,
+        "sssp_weighted": _sssp_oracle_sql(SSSP_ORACLE_ROUNDS),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

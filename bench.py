@@ -95,6 +95,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.katz import katz_centrality
     timed("katz_3iter",
           lambda: noop(katz_centrality(edges, alpha=0.1, max_iter=3).scores))
+    from pagerank_spark.operators.eigenvector import eigenvector_centrality
+    timed("eigenvector_3iter",
+          lambda: noop(eigenvector_centrality(edges, iterations=3).scores))
     from pagerank_spark.operators.redirects import resolve_redirects
     redir = g.vertices.filter(F.col("id") % 8 != 0).select(
         "id", F.expr("CASE WHEN id % 8 BETWEEN 1 AND 5 THEN id - 1 "
@@ -103,6 +106,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: noop(resolve_redirects(redir, max_hops=8, src_col="id",
                                          dst_col="ptr").targets))
     timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
+    from pagerank_spark.operators.sssp import shortest_paths
+    swedges = edges.select("src", "dst", F.expr(
+        "CAST(1 + (src * 7 + dst * 3) % 5 AS DOUBLE)").alias("w"))
+    timed("sssp_weighted",
+          lambda: noop(shortest_paths(swedges, [1], max_rounds=12).distances))
     timed("k_core_5", lambda: noop(k_core(edges, k=5, max_rounds=8).vertices))
     from pagerank_spark.operators.coreness import coreness
     from pagerank_spark.operators.scc import strongly_connected_components

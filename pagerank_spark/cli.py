@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
                             "mcpagerank", "node2vec", "seededlp", "katz",
-                            "redirects"],
+                            "redirects", "eigenvector", "sssp"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -281,6 +281,19 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         # the (src, dst) input IS the redirect map here
         res = resolve_redirects(edges, max_hops=args.max_iteration)
         out, tail = res.targets, f"rounds={res.rounds}"
+    elif args.algo == "eigenvector":
+        from pagerank_spark.operators.eigenvector import eigenvector_centrality
+        res = eigenvector_centrality(edges, iterations=args.max_iteration,
+                                     universe=universe,
+                                     weight_col=args.weight_col)
+        out, tail = res.scores, f"iterations={res.iterations}"
+    elif args.algo == "sssp":
+        from pagerank_spark.operators.sssp import shortest_paths
+        srcs = [int(s) for s in (args.source or "0").split(",")]
+        res = shortest_paths(edges, srcs, weight_col=args.weight_col,
+                             max_rounds=args.max_iteration)
+        out, tail = res.distances, (f"rounds={res.rounds} "
+                                    f"converged={res.converged}")
     elif args.algo == "mcpagerank":
         from pagerank_spark.operators.walks import pagerank_monte_carlo
         out = pagerank_monte_carlo(edges, alpha=args.alpha,

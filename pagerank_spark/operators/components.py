@@ -97,18 +97,67 @@ def connected_components(
     edges: DataFrame,
     universe: DataFrame | None = None,
     max_rounds: int = 50,
+    checkpointer=None,
+    resume: bool = False,
+    prior_labels: DataFrame | None = None,
 ) -> ComponentsResult:
     """Component label (= min vertex id in the component) per vertex.
 
     ``universe``: optional (id) DataFrame of all vertices — isolated ones
     get their own id as label, matching the union-find oracle exactly.
+
+    ``prior_labels``: optional (id, component) frame from a previous run —
+    the incremental-recompute warm start for a crawl DELTA that only ADDS
+    edges (the same role ``init_ranks`` plays for ``pagerank()``). Each
+    prior component collapses to a star edge (id, component) folded into
+    the input, so already-merged structure contracts in round 1 instead of
+    being re-derived; extra edges can only merge components further, never
+    split them, so the fixpoint is identical to a cold run on the full
+    edge set. NOT valid if the delta REMOVES edges — removal can split a
+    component, which a label edge would incorrectly hold together.
+
+    ``checkpointer``: optional dir-backed
+    :class:`~pagerank_spark.plans.checkpoint.SuperstepCheckpointer` — each
+    round's contracted edge state commits to parquet with a metrics row
+    (edge count, state hash, wall ms, per-partition lineage), and
+    ``resume=True`` continues a killed run from the last committed round
+    (the same superstep-resume contract as ``pagerank()``; the round state
+    IS the star-contracted edge multiset, so nothing else needs saving).
+    ``checkpointer=None`` keeps the in-memory ``localCheckpoint`` path.
     """
-    cur, sig = _observed_checkpoint(_canonical(edges), "cc_init")
-    rounds = 0
+    from pagerank_spark.plans.checkpoint import StageTimer
+
+    start_round = 0
+    if checkpointer is not None and not resume:
+        checkpointer.reset()
+    if checkpointer is not None and resume and \
+            (last := checkpointer.last_committed()) is not None:
+        # re-materialize the committed state; the convergence signature is
+        # a deterministic function of the edge multiset, so recomputing it
+        # on load reproduces exactly what the killed run observed
+        cur, sig = _observed_checkpoint(checkpointer.load(last), "cc_resume")
+        start_round = last
+    else:
+        base = edges
+        if prior_labels is not None:
+            base = edges.select("src", "dst").unionAll(
+                prior_labels.select(F.col("id").alias("src"),
+                                    F.col("component").alias("dst")))
+        cur, sig = _observed_checkpoint(_canonical(base), "cc_init")
+    rounds = start_round
     converged = False
-    for rounds in range(1, max_rounds + 1):
+    timer = StageTimer()
+    for rounds in range(start_round + 1, max_rounds + 1):
         nxt, nsig = _observed_checkpoint(
             _small_star(_large_star(cur)), f"cc_round_{rounds}")
+        if checkpointer is not None:
+            # durable commit off the in-memory blocks (no recompute), then
+            # keep iterating on the in-memory copy
+            checkpointer.save(rounds, nxt)
+            checkpointer.record(rounds, nxt, n_edges=nsig[0],
+                                state_hash=str(nsig[1]),
+                                converged=(nsig == sig),
+                                wall_ms=timer.lap_ms())
         cur.unpersist()  # drop the previous round's checkpoint blocks
         cur = nxt
         if nsig == sig:
@@ -124,6 +173,11 @@ def connected_components(
     members = edges.select(F.col("src").alias("id")).unionAll(
         edges.select(F.col("dst").alias("id"))
     )
+    if prior_labels is not None:
+        # a prior vertex kept alive only by `universe` in the previous run
+        # must stay in the output even if the new edge set never names it
+        members = members.unionAll(prior_labels.select("id")).unionAll(
+            prior_labels.select(F.col("component").alias("id")))
     if universe is not None:
         members = members.unionAll(universe.select("id"))
     labels = (

@@ -35,7 +35,18 @@ def label_propagation(
     edges: DataFrame,
     universe: DataFrame | None = None,
     max_rounds: int = 20,
+    checkpointer=None,
+    resume: bool = False,
 ) -> LabelPropResult:
+    """``checkpointer``: optional dir-backed
+    :class:`~pagerank_spark.plans.checkpoint.SuperstepCheckpointer` — each
+    round's (id, label) state commits to parquet with a metrics row
+    (changed-vertex count, wall ms, per-partition lineage); ``resume=True``
+    continues a killed run from the last committed round, the same
+    superstep-resume contract as ``pagerank()``. ``None`` keeps the
+    in-memory ``localCheckpoint`` path."""
+    from pagerank_spark.plans.checkpoint import StageTimer
+
     sym = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
@@ -50,10 +61,19 @@ def label_propagation(
         vertices = vertices.unionAll(universe.select("id")).distinct()
     vertices = vertices.localCheckpoint(eager=True)
 
-    labels = vertices.select("id", F.col("id").alias("label"))
+    start_round = 0
+    if checkpointer is not None and not resume:
+        checkpointer.reset()
+    if checkpointer is not None and resume and \
+            (last := checkpointer.last_committed()) is not None:
+        labels = checkpointer.load(last).localCheckpoint(eager=True)
+        start_round = last
+    else:
+        labels = vertices.select("id", F.col("id").alias("label"))
     converged = False
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    rounds = start_round
+    timer = StageTimer()
+    for rounds in range(start_round + 1, max_rounds + 1):
         # neighbor labels: for edge (src,dst), vertex src sees label(dst)
         neigh = sym.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
@@ -76,8 +96,17 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         changed = int(obs.get["changed"] or 0)
-        if rounds > 1:
-            labels.unpersist()  # drop the previous round's checkpoint blocks
+        if checkpointer is not None:
+            # durable commit off the in-memory blocks (no recompute); the
+            # (id, label) frame is the full round state
+            state = new_labels.select("id", "label")
+            checkpointer.save(rounds, state)
+            checkpointer.record(rounds, state, changed=changed,
+                                converged=(changed == 0),
+                                wall_ms=timer.lap_ms())
+        # drop the previous round's checkpoint blocks (no-op on the lazy
+        # initial select; frees the resumed checkpoint after round 1)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -13,7 +13,7 @@ def spark():
     from pagerank_spark.session import get_spark
 
     s = get_spark(
-        "pagerank_spark_tests", cpus=4, shuffle_partitions=8,
+        "pagerank_spark_tests", cpus=4, shuffle_partitions=4,
         extra_conf={
             "spark.sql.warehouse.dir": "/tmp/pagerank-spark-warehouse",
             # test-session-only: AQE re-planning costs ~40% of the fixed

@@ -170,3 +170,72 @@ def test_weighted_labelprop_random_exact(spark, n, m, tag):
     got = {r.id: r.label for r in res.labels.collect()}
     want = weighted_lp_oracle(wedges, n, max_iter=6)
     assert got == {i: want[i] for i in range(n)}
+
+
+def test_components_checkpoint_resume_identical(spark, tmp_path):
+    """Kill the star-contraction loop after round k; resume -> identical
+    labels to a straight run (same superstep-resume contract as pagerank)."""
+    from pagerank_spark.plans.checkpoint import SuperstepCheckpointer
+
+    # long path + a ring: several contraction rounds before the fixpoint
+    edges = [(i, i + 1) for i in range(30)] + [(40, 41), (41, 42), (42, 40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    straight = connected_components(df)
+    want = {r.id: r.component for r in straight.labels.collect()}
+
+    d = str(tmp_path / "cc_ck")
+    ck1 = SuperstepCheckpointer(spark, d)
+    killed = connected_components(df, max_rounds=1, checkpointer=ck1)
+    assert not killed.converged
+    ck2 = SuperstepCheckpointer(spark, d)
+    assert ck2.last_committed() == 1
+    resumed = connected_components(df, checkpointer=ck2, resume=True)
+    got = {r.id: r.component for r in resumed.labels.collect()}
+    assert got == want
+    assert resumed.converged
+    assert resumed.rounds > 1  # actually continued, not restarted
+    rows = ck2.load_metrics()
+    assert rows and all("partition_rows" in m and "state_hash" in m
+                        for m in rows)
+
+
+def test_labelprop_checkpoint_resume_identical(spark, tmp_path):
+    """Same kill/resume contract for label propagation's (id, label) state."""
+    from pagerank_spark.plans.checkpoint import SuperstepCheckpointer
+
+    edges = ([(i, i + 1) for i in range(8)]            # path community
+             + [(20, 21), (21, 22), (22, 20), (20, 22)])  # triangle community
+    df = spark.createDataFrame(edges, "src long, dst long")
+    straight = label_propagation(df, max_rounds=12)
+    want = {r.id: r.label for r in straight.labels.collect()}
+
+    d = str(tmp_path / "lp_ck")
+    ck1 = SuperstepCheckpointer(spark, d)
+    label_propagation(df, max_rounds=2, checkpointer=ck1)  # "killed" at 2
+    ck2 = SuperstepCheckpointer(spark, d)
+    assert ck2.last_committed() == 2
+    resumed = label_propagation(df, max_rounds=12, checkpointer=ck2,
+                                resume=True)
+    got = {r.id: r.label for r in resumed.labels.collect()}
+    assert got == want
+    rows = ck2.load_metrics()
+    assert rows and all("changed" in m and "partition_rows" in m for m in rows)
+
+
+def test_components_incremental_warm_start(spark):
+    """prior_labels warm start on an add-only delta: identical labels to a
+    cold run on the full edge set, reached in fewer contraction rounds."""
+    base = [(i, i + 1) for i in range(24)] + [(30, 31), (32, 33)]
+    delta = [(24, 30), (31, 32)]  # merges the tail fragments into the path
+    df_full = spark.createDataFrame(base + delta, "src long, dst long")
+
+    cold = connected_components(df_full)
+    prior = connected_components(spark.createDataFrame(
+        base, "src long, dst long"))
+    warm = connected_components(df_full, prior_labels=prior.labels)
+
+    want = {r.id: r.component for r in cold.labels.collect()}
+    got = {r.id: r.component for r in warm.labels.collect()}
+    assert got == want
+    assert warm.converged
+    assert warm.rounds < cold.rounds  # the prior structure contracted in round 1

@@ -53,7 +53,10 @@ def test_exact_truncated_at_max_t(spark):
 def test_hll_tracks_exact_within_error(spark):
     """HyperANF estimate vs exact truth on a random digraph. b=6 gives
     ~13% rel. std. err. per point; 0.3 is a >2-sigma band."""
-    n, m = 200, 800
+    # denser graph (avg degree 8): same estimator statistics, but the
+    # diameter — and so the serial hop count that dominates wall time —
+    # drops from ~8 to ~4
+    n, m = 120, 960
     edges = _random_edges(n, m, 73)
     df = spark.createDataFrame(edges, "src long, dst long")
     exact = neighborhood_function_exact(df, max_t=64, universe=spark.range(n))
@@ -131,7 +134,7 @@ def test_harmonic_exact_matches_bfs_oracle(spark, n, m, tag, direction):
 def test_harmonic_hll_tracks_exact(spark):
     """Aggregate HLL harmonic mass within estimator error of the exact
     total, and per-vertex scores deterministic across runs."""
-    n, m = 150, 600
+    n, m = 100, 800    # dense: fewer serial hops, same statistics
     edges = _random_edges(n, m, 83)
     df = spark.createDataFrame(edges, "src long, dst long")
     ex = harmonic_centrality_exact(df, max_t=12, universe=spark.range(n))
@@ -158,7 +161,7 @@ def test_closeness_hll_tracks_exact(spark):
     the exact totals; per-vertex scores deterministic across runs."""
     from pagerank_spark.operators.neighborhood import (
         closeness_centrality_exact, closeness_centrality_hll)
-    n, m = 150, 600
+    n, m = 100, 800    # dense: fewer serial hops, same statistics
     edges = _random_edges(n, m, 84)
     df = spark.createDataFrame(edges, "src long, dst long")
     ex = closeness_centrality_exact(df, max_t=12, universe=spark.range(n))

@@ -29,14 +29,16 @@ def g6(spark):
 def test_g6_golden_alpha09(spark, g6):
     """The reference's only golden vector (nvgraph_Pagerank.cpp:40-69,
     Langville & Meyer, alpha=0.9, sum-to-1)."""
-    res = pagerank(g6, alpha=0.9, tol=1e-10, max_iter=300)
+    # 1e-6 is 4 decades (~55 supersteps) cheaper than 1e-10 and still
+    # 100x inside the golden vector's 1e-3 grid (distance <= 9*tol)
+    res = pagerank(g6, alpha=0.9, tol=1e-6, max_iter=300)
     got = _ranks_vec(res, 6)
     np.testing.assert_allclose(got, synth.G6_RANKS_A09, atol=1e-3)
 
 
 def test_g6_matches_oracle_alpha085(spark, g6):
-    res = pagerank(g6, alpha=0.85, tol=1e-9, max_iter=300)
-    want = pagerank_oracle(synth.G6_EDGES, 6, alpha=0.85, tol=1e-9, max_iter=300)
+    res = pagerank(g6, alpha=0.85, tol=1e-8, max_iter=300)
+    want = pagerank_oracle(synth.G6_EDGES, 6, alpha=0.85, tol=1e-8, max_iter=300)
     np.testing.assert_allclose(_ranks_vec(res, 6), want, atol=1e-6)
     assert res.converged
 
@@ -105,13 +107,13 @@ def test_fixed_iteration_mode(spark, g6):
 
 def test_checkpoint_resume_identical(spark, tmp_path, g6):
     """Kill after superstep k, resume -> final ranks identical to straight run."""
-    straight = pagerank(g6, alpha=0.85, tol=None, max_iter=12)
+    straight = pagerank(g6, alpha=0.85, tol=None, max_iter=8)
 
     ck1 = SuperstepCheckpointer(spark, str(tmp_path / "ck"))
-    pagerank(g6, alpha=0.85, tol=None, max_iter=5, checkpointer=ck1)  # "killed" at 5
+    pagerank(g6, alpha=0.85, tol=None, max_iter=3, checkpointer=ck1)  # "killed" at 3
     ck2 = SuperstepCheckpointer(spark, str(tmp_path / "ck"))
-    assert ck2.last_committed() == 5
-    resumed = pagerank(g6, alpha=0.85, tol=None, max_iter=12,
+    assert ck2.last_committed() == 3
+    resumed = pagerank(g6, alpha=0.85, tol=None, max_iter=8,
                        checkpointer=ck2, resume=True)
     np.testing.assert_allclose(
         _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15
@@ -130,21 +132,21 @@ def test_fresh_run_clears_stale_checkpoints(spark, tmp_path, g6):
     otherwise a later resume loads the PREVIOUS run's higher-numbered
     superstep as its starting state."""
     d = str(tmp_path / "ck2")
-    pagerank(g6, tol=None, max_iter=8, checkpointer=SuperstepCheckpointer(spark, d))
+    pagerank(g6, tol=None, max_iter=5, checkpointer=SuperstepCheckpointer(spark, d))
     ck2 = SuperstepCheckpointer(spark, d)
     pagerank(g6, tol=None, max_iter=3, checkpointer=ck2)  # fresh, same dir
-    assert ck2.last_committed() == 3  # iters 4..8 from run 1 are gone
+    assert ck2.last_committed() == 3  # iters 4..5 from run 1 are gone
     rows = ck2.load_metrics()
     assert [m["iteration"] for m in rows] == list(range(1, 4))  # no run mixing
     # resuming now continues run 2, ending identical to a straight 8-iter run
-    resumed = pagerank(g6, tol=None, max_iter=8,
+    resumed = pagerank(g6, tol=None, max_iter=5,
                        checkpointer=SuperstepCheckpointer(spark, d), resume=True)
-    straight = pagerank(g6, tol=None, max_iter=8)
+    straight = pagerank(g6, tol=None, max_iter=5)
     np.testing.assert_allclose(
         _ranks_vec(resumed, 6), _ranks_vec(straight, 6), atol=1e-15)
 
 
 def test_reference_scale_view(spark, g6):
-    res = pagerank(g6, alpha=0.85, tol=1e-9)
+    res = pagerank(g6, alpha=0.85, tol=1e-6)  # mass invariant holds at every iterate
     ref = {r.id: r.rank for r in res.reference_scale().collect()}
     assert abs(sum(ref.values()) - 6.0) < 1e-9

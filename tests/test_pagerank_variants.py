@@ -32,15 +32,15 @@ def test_out_degree_init_same_fixed_point(spark, g6):
     # G6's sub-dominant eigenvalue converges far faster than the α
     # worst-case, so convergence mode beats any fixed α-bound budget;
     # 1e-8 each side bounds the pair difference well inside atol
-    a = pagerank(g6, tol=1e-8, max_iter=150)
-    b = pagerank(g6, tol=1e-8, max_iter=150, init="out_degree")
-    np.testing.assert_allclose(_vec(a, 6), _vec(b, 6), atol=1e-6)
+    a = pagerank(g6, tol=3e-7, max_iter=150)
+    b = pagerank(g6, tol=3e-7, max_iter=150, init="out_degree")
+    np.testing.assert_allclose(_vec(a, 6), _vec(b, 6), atol=1e-5)
 
 
 def test_no_redistribution_leaks_dangling_mass(spark, g6):
     """P8 (lightSpMV PageRank.h:339-343): vertex 1 is dangling, so total
     mass at the fixed point is < 1."""
-    res = pagerank(g6, tol=1e-10, max_iter=300, dangling_redistribution=False)
+    res = pagerank(g6, tol=1e-8, max_iter=300, dangling_redistribution=False)
     total = float(res.ranks.agg(F.sum("rank")).first()[0])
     assert total < 1.0 - 1e-3
     # oracle: explicit leaky power iteration
@@ -53,7 +53,7 @@ def test_no_redistribution_leaks_dangling_mass(spark, g6):
     r = np.full(6, 1 / 6)
     for _ in range(300):
         nxt = 0.85 * A @ r + 0.15 / 6
-        if np.abs(nxt - r).sum() <= 1e-10:
+        if np.abs(nxt - r).sum() <= 1e-8:
             r = nxt
             break
         r = nxt
@@ -65,18 +65,18 @@ def test_no_redistribution_equals_default_without_dangling(spark):
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 0)], schema="src long, dst long")
     g = build_graph(spark, edges, n_vertices=3)
-    a = pagerank(g, tol=1e-10, max_iter=200)
-    b = pagerank(g, tol=1e-10, max_iter=200, dangling_redistribution=False)
+    a = pagerank(g, tol=1e-8, max_iter=200)
+    b = pagerank(g, tol=1e-8, max_iter=200, dangling_redistribution=False)
     np.testing.assert_allclose(_vec(a, 3), _vec(b, 3), atol=1e-12)
 
 
 def test_l2_norm_stop(spark, g6):
     """A5 (lightSpMV PageRank.h:56-66): L2 stop converges to the same
     ranks; metrics carry both norms and l2 <= l1 always."""
-    res = pagerank(g6, tol=1e-8, max_iter=300, norm="l2")
+    res = pagerank(g6, tol=3e-7, max_iter=300, norm="l2")
     assert res.converged
-    ref = pagerank(g6, tol=1e-8, max_iter=300)
-    np.testing.assert_allclose(_vec(res, 6), _vec(ref, 6), atol=1e-6)
+    ref = pagerank(g6, tol=3e-7, max_iter=300)
+    np.testing.assert_allclose(_vec(res, 6), _vec(ref, 6), atol=1e-5)
     for m in res.metrics:
         assert m["l2_diff"] <= m["l1_diff"] + 1e-15
 
@@ -155,7 +155,7 @@ def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
                     (mix2(ids, 72) % np.uint64(n)).astype(np.int64).tolist()))
     g1 = build_graph(spark, spark.createDataFrame(base, "src long, dst long"),
                      n_vertices=n)
-    r1 = pagerank(g1, alpha=0.85, tol=1e-6, max_iter=200)
+    r1 = pagerank(g1, alpha=0.85, tol=1e-5, max_iter=200)
     assert r1.converged
 
     # perturb: three extra edges out of 1600 — a small crawl delta
@@ -163,15 +163,15 @@ def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
     g2 = build_graph(spark,
                      spark.createDataFrame(base + delta, "src long, dst long"),
                      n_vertices=n)
-    cold = pagerank(g2, alpha=0.85, tol=1e-7, max_iter=200)
-    warm = pagerank(g2, alpha=0.85, tol=1e-7, max_iter=200,
+    cold = pagerank(g2, alpha=0.85, tol=1e-6, max_iter=200)
+    warm = pagerank(g2, alpha=0.85, tol=1e-6, max_iter=200,
                     init_ranks=r1.ranks.select("id", "rank"))
     assert cold.converged and warm.converged
     assert warm.iterations < cold.iterations
     got_cold = {r.id: r.rank for r in cold.ranks.collect()}
     got_warm = {r.id: r.rank for r in warm.ranks.collect()}
     for i in range(n):
-        assert got_warm[i] == pytest.approx(got_cold[i], abs=1e-6)
+        assert got_warm[i] == pytest.approx(got_cold[i], abs=1e-5)
 
 
 @pytest.mark.parametrize("bad", ["zero", "negative", "nan"])

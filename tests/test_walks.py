@@ -103,7 +103,7 @@ def test_pagerank_mc_tracks_exact(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
 
     exact = pagerank(build_graph(spark, df, n_vertices=n),
-                     alpha=0.85, tol=1e-6, max_iter=200)
+                     alpha=0.85, tol=1e-5, max_iter=200)  # MC err >> 1e-5
     ex = np.zeros(n)
     for r in exact.ranks.collect():
         ex[r.id] = r.rank
