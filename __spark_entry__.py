@@ -2294,6 +2294,99 @@ FROM base
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textops.py pii_scrub): emails, phones, and
+    IPv4 addresses injected deterministically from doc_id (the fixture docs
+    carry no PII), then masked by the chained all-JVM regexp pass; both
+    engines derive the identical salted text, so the redacted output and
+    per-kind counts hash-match exactly."""
+    from pagerank_spark.operators.textops import pii_scrub
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 4 == 0, F.concat(
+                F.lit(" mail user"), d.cast("string"),
+                F.lit("@example.com")))
+             .when(d % 4 == 1, F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad(((d * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0")))
+             .when(d % 4 == 2, F.concat(
+                F.lit(" from 10."), ((d * 3) % 256).cast("string"),
+                F.lit("."), ((d * 5) % 256).cast("string"),
+                F.lit("."), (d % 256).cast("string")))
+             .otherwise(F.lit("")),
+        ).alias("text"))
+    return pii_scrub(salted).select(
+        "doc_id", "text_clean", "n_email", "n_phone", "n_ip", "n_pii")
+
+
+def _pii_oracle_sql() -> str:
+    from pagerank_spark.operators.textops import (PII_EMAIL, PII_IPV4,
+                                                  PII_PHONE)
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         coalesce(text, '') || CASE
+           WHEN doc_id % 4 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                || '@example.com'
+           WHEN doc_id % 4 = 1 THEN ' call +1 555-'
+                || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN doc_id % 4 = 2 THEN ' from 10.'
+                || CAST((doc_id * 3) % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 256 AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+          + len(regexp_extract_all(text, '{PII_PHONE}'))
+          + len(regexp_extract_all(text, '{PII_IPV4}')) AS INT) AS n_pii
+FROM salted
+"""
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style in-document repetition filter (operators/textops.py
+    repetition_stats): duplicate n-gram fraction for n=1,2,3 over the
+    whitespace tokens plus the 2-gram keep/drop verdict — the synthetic
+    docs repeat words naturally, so the fractions are non-trivial."""
+    from pagerank_spark.operators.textops import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def _repetition_oracle_sql(max_dup_2gram: float = 0.4) -> str:
+    def dup(n: int) -> str:
+        total = f"(n_tokens - {n - 1})"
+        return (f"round(CASE WHEN {total} <= 0 THEN 0.0 ELSE "
+                f"1.0 - len(list_distinct(g{n})) / CAST({total} AS DOUBLE) "
+                f"END, 6)")
+    return f"""
+WITH base AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+g AS (SELECT doc_id, len(t) AS n_tokens, t AS g1,
+  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+  list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+FROM base)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       {dup(1)} AS dup_1gram, {dup(2)} AS dup_2gram, {dup(3)} AS dup_3gram,
+       {dup(2)} <= {max_dup_2gram} AS keep
+FROM g
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -3091,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_3iter": q_eigenvector_3iter,
         "distance_stats": q_distance_stats,
         "sssp_weighted": q_sssp,
+        "pii_scrub": q_pii_scrub,
+        "docs_repetition": q_docs_repetition,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3161,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_3iter": _eigenvector_oracle_sql(EIG_ITERS),
         "distance_stats": SQL_DISTANCE_STATS,
         "sssp_weighted": _sssp_oracle_sql(SSSP_ORACLE_ROUNDS),
+        "pii_scrub": _pii_oracle_sql(),
+        "docs_repetition": _repetition_oracle_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -201,6 +201,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("docs_text_profile", lambda: noop(analyze_documents(docs)))
+    from pagerank_spark.operators.textops import pii_scrub, repetition_stats
+    timed("pii_scrub", lambda: noop(pii_scrub(docs)))
+    timed("docs_repetition", lambda: noop(repetition_stats(docs)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

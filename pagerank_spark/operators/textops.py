@@ -216,3 +216,85 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id",
         fingerprint_exact(t).alias("fp_md5"),
         rolling_fingerprint(t).alias("fp_rolling"),
     )
+
+
+# -- PII redaction ------------------------------------------------------------
+#
+# Training-corpus scrubbing pass: mask emails, phone numbers, and IPv4
+# addresses before a document reaches a training shard. Patterns avoid
+# backreferences and lookaround so the same regex runs identically under
+# Java regex (Spark, whole-stage codegen) and RE2 (the DuckDB oracle) —
+# both use leftmost-first greedy matching for these constructs. Absent
+# from the reference (a rank engine); part of the LLM-pipeline surface.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-format numbers: +CC NNN-NNN-NNNN (separators - or space);
+# matched BEFORE the IP pattern so dotted quads never eat a phone suffix
+PII_PHONE = r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_RULES = (("email", PII_EMAIL, "<EMAIL>"),
+              ("phone", PII_PHONE, "<PHONE>"),
+              ("ip", PII_IPV4, "<IP>"))
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact PII spans in ``text_col``; count each kind per document.
+
+    Returns (id, text_clean, n_email, n_phone, n_ip, n_pii). One narrow
+    projection, zero shuffles, zero Python — every rule is a JVM
+    ``regexp_count`` + chained ``regexp_replace``, so the pass pipelines
+    inside the parquet scan stage at any corpus size. Rules apply in a
+    fixed order (email, phone, ip) so overlapping matches resolve
+    deterministically.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+              .alias(f"n_{kind}") for kind, pat, _ in _PII_RULES]
+    clean = t
+    for _, pat, mask in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, mask)
+    out = docs.select(F.col(id_col), clean.alias("text_clean"), *counts)
+    total = sum((F.col(f"n_{kind}") for kind, _, _ in _PII_RULES),
+                start=F.lit(0))
+    return out.withColumn("n_pii", total.cast("int"))
+
+
+# -- repetition filter (Gopher-style) ----------------------------------------
+
+
+def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+    """Fraction of token n-grams that are repeats of an earlier n-gram:
+    1 - distinct/total (0.0 for docs shorter than n tokens). The in-doc
+    repetition signal used by corpus quality filters (Rae et al., Gopher,
+    arXiv:2112.11446 §A.1.2 — count-based variant). All JVM array
+    expressions: n-grams come from one ``transform`` over an index
+    ``sequence``, dedup via ``array_distinct`` — no shuffle, no UDF."""
+    toks = tokens(text)
+    total = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                          for j in range(n)]))
+    frac = (F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / total.cast("double"))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(frac)
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_dup_2gram: float = 0.4) -> DataFrame:
+    """Per-document repetition profile + keep/drop verdict.
+
+    (id, n_tokens, dup_1gram, dup_2gram, dup_3gram, keep) where dup_n is
+    :func:`duplicate_ngram_fraction` and ``keep`` applies the 2-gram
+    threshold (Gopher drops docs whose duplicate 2-gram share is high).
+    Narrow per-row projection — scales as a mapper over the corpus."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        *[F.round(duplicate_ngram_fraction(t, n), 6).alias(f"dup_{n}gram")
+          for n in (1, 2, 3)],
+    ).withColumn("keep", F.col("dup_2gram") <= F.lit(max_dup_2gram))

@@ -129,3 +129,84 @@ def test_tfidf_partition_invariant(spark, tiny_corpus):
     b = tfidf_top_terms(tiny_corpus.repartition(5), k=2) \
         .select("doc_id", "term", "tf")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# -- PII redaction -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "write to alice.smith+spam@mail.example.org today"),
+            (2, "call +1 555-867-5309 or +44 020-794-6000 now"),
+            (3, "served from 192.168.0.1 and 10.0.255.7"),
+            (4, "no pii here at all"),
+            (5, None),
+            (6, "mixed bob@x.io from 8.8.8.8 call +1 555-000-1234"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_pii_scrub_masks_and_counts(spark, pii_corpus):
+    from pagerank_spark.operators.textops import pii_scrub
+    rows = {r.doc_id: r for r in pii_scrub(pii_corpus).collect()}
+    assert rows[1].text_clean == "write to <EMAIL> today"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip, rows[1].n_pii) \
+        == (1, 0, 0, 1)
+    assert rows[2].text_clean == "call <PHONE> or <PHONE> now"
+    assert rows[2].n_phone == 2
+    assert rows[3].text_clean == "served from <IP> and <IP>"
+    assert rows[3].n_ip == 2
+    assert rows[4].text_clean == "no pii here at all" and rows[4].n_pii == 0
+    assert rows[5].text_clean == "" and rows[5].n_pii == 0
+    assert rows[6].text_clean == "mixed <EMAIL> from <IP> call <PHONE>"
+    assert rows[6].n_pii == 3
+
+
+def test_pii_scrub_all_jvm(spark, pii_corpus):
+    # the scrub pass must pipeline inside the scan stage: no Python nodes
+    from pagerank_spark.operators.textops import pii_scrub
+    plan = pii_scrub(pii_corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+# -- repetition filter -------------------------------------------------------
+
+
+def test_duplicate_ngram_fraction_exact(spark):
+    from pagerank_spark.operators.textops import repetition_stats
+    corpus = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
+            (2, "a b c d"),            # all distinct -> 0 everywhere
+            (3, "x y x y x"),          # 1g: 1-2/5; 2g: 1-2/4; 3g: 1-2/3
+            (4, "one"),                # shorter than n -> 0.0 for 2g/3g
+            (5, None),                 # null text -> all 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(corpus).collect()}
+    assert rows[1].dup_1gram == pytest.approx(0.75)
+    assert rows[1].dup_2gram == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert rows[1].dup_3gram == pytest.approx(0.5)
+    assert (rows[2].dup_1gram, rows[2].dup_2gram, rows[2].dup_3gram) \
+        == (0.0, 0.0, 0.0)
+    assert rows[3].dup_1gram == pytest.approx(0.6)
+    assert rows[3].dup_2gram == pytest.approx(0.5)
+    assert rows[3].dup_3gram == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rows[4].n_tokens == 1
+    assert (rows[4].dup_2gram, rows[4].dup_3gram) == (0.0, 0.0)
+    assert rows[5].n_tokens == 0 and rows[5].dup_1gram == 0.0
+    # the Gopher 2-gram verdict: doc 1 and 3 are repetitive, 2 and 4 keep
+    assert {d: r.keep for d, r in rows.items()} \
+        == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_repetition_keep_threshold(spark):
+    from pagerank_spark.operators.textops import repetition_stats
+    corpus = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    strict = repetition_stats(corpus, max_dup_2gram=0.0).collect()[0]
+    loose = repetition_stats(corpus, max_dup_2gram=0.9).collect()[0]
+    assert not strict.keep and loose.keep
