@@ -2387,6 +2387,49 @@ FROM g
 """
 
 
+PASSAGE_W = 20  # tokens per passage (fixture texts are ~80 tokens -> ~4-5)
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage-level dedup (operators/dedup.py passage_dedup):
+    docs split into {PASSAGE_W}-token passages, globally-first occurrence
+    of each distinct passage kept, per-doc drop stats + surviving text.
+    The synthetic corpus repeats token windows across docs (~7% of sf0.01
+    passages are duplicated), so the check is non-trivial."""
+    from pagerank_spark.operators.dedup import passage_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dedup(docs, w=PASSAGE_W)
+
+
+def _passage_dedup_sql(w: int = PASSAGE_W) -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+p AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(t[g.i*{w}+1 : g.i*{w}+{w}], ' ') AS passage
+  FROM tk, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(len(t) / CAST({w} AS DOUBLE)) AS BIGINT))) AS i) g),
+ranked AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (PARTITION BY passage
+                            ORDER BY doc_id, pos) AS rn
+  FROM p),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(passage, ' ' ORDER BY pos) AS dedup_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n_passages, 0) AS BIGINT) AS n_passages,
+       CAST(coalesce(tot.n_passages, 0) - coalesce(kept.n_kept, 0)
+            AS BIGINT) AS n_dropped,
+       coalesce(kept.dedup_text, '') AS dedup_text
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN kept ON d.doc_id = kept.doc_id
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -3186,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp,
         "pii_scrub": q_pii_scrub,
         "docs_repetition": q_docs_repetition,
+        "passage_dedup": q_passage_dedup,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3258,6 +3302,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": _sssp_oracle_sql(SSSP_ORACLE_ROUNDS),
         "pii_scrub": _pii_oracle_sql(),
         "docs_repetition": _repetition_oracle_sql(),
+        "passage_dedup": _passage_dedup_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

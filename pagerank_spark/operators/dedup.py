@@ -355,3 +355,69 @@ def deduplicate_corpus(
     return (docs.join(
         clusters.filter("keep").select(F.col("doc_id").alias(id_col),
                                        "cluster"), id_col))
+
+
+# -- passage-level (CCNet-style) dedup ---------------------------------------
+
+
+def passages(docs: DataFrame, w: int = 20, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Split each document into non-overlapping ``w``-token passages:
+    ``(id_col, pos, passage)`` with a 0-based passage index; the trailing
+    passage may be shorter than ``w``. Tokens are the same lower-cased
+    whitespace tokens the rest of the text pipeline uses.
+
+    The split is one JVM projection (split + sequence + slice + array_join)
+    followed by posexplode — no UDF; the row growth is ~n_tokens/w per doc,
+    the same order the shingle pipeline already pays.
+    """
+    tk = docs.select(id_col, tokens(F.col(text_col)).alias("tk"))
+    npass = F.ceil(F.size("tk") / F.lit(float(w))).cast("int")
+    arr = F.when(npass > 0, F.transform(
+        F.sequence(F.lit(0), npass - F.lit(1)),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * w + 1, w), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return tk.select(id_col, F.posexplode(arr).alias("pos", "passage"))
+
+
+def passage_dedup(docs: DataFrame, w: int = 20, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """CCNet-style passage-level deduplication: the globally FIRST
+    occurrence (smallest ``(doc_id, pos)``) of each distinct passage
+    survives; every later occurrence is dropped. Returns one row per input
+    document: ``(doc_id, n_passages, n_dropped, dedup_text)`` where
+    ``dedup_text`` is the surviving passages re-joined in document order
+    (CCNet deduplicates paragraph-hash-wise across the whole corpus;
+    Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", 2020).
+
+    Scale shape (10^12 docs): survivors come from ONE hash groupBy on the
+    passage key whose min-struct aggregate collapses duplicates map-side —
+    a boilerplate passage occurring 10^9 times contributes one partial min
+    per input partition, so there is no hot-key join anywhere (deliberately
+    NOT the tag-each-occurrence-via-join-back plan, whose equi-join on the
+    passage key would be exactly such a hot key). Doc-level stats then need
+    only doc_id-keyed aggregations and a three-way co-partitioned join.
+    At full scale the groupBy key should be a 128-bit passage hash rather
+    than the string to cut shuffle bytes (CCNet uses SHA1 paragraph
+    hashes); at test scale the string key is exact and oracle-checkable.
+    """
+    p = passages(docs, w=w, id_col=id_col, text_col=text_col)
+    surv = (p.groupBy("passage")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"))
+            .select(F.col(f"f.{id_col}").alias(id_col),
+                    F.col("f.pos").alias("pos"), "passage"))
+    kept = surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+            lambda s: s["passage"]), " ").alias("dedup_text"))
+    totals = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    return (docs.select(id_col)
+            .join(totals, id_col, "left").join(kept, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+                (F.coalesce("n_passages", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+                F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))

@@ -135,3 +135,40 @@ def test_deduplicate_corpus_planted(spark):
     kept = {r.doc_id for r in out.collect()}
     assert 100 in kept and 101 not in kept and 102 not in kept
     assert all(i in kept for i in range(20))  # uniques survive
+
+
+def test_passages_split_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, None), (4, "")],
+        "doc_id long, text string")
+    rows = dedup.passages(df, w=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.passage))
+    assert sorted(by_doc[1]) == [(0, "a b"), (1, "c d"), (2, "e")]
+    assert sorted(by_doc[2]) == [(0, "x y")]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_passage_dedup_first_occurrence_survives(spark):
+    # doc 1 owns "a b"/"c d"; doc 2 repeats "a b" then adds "e f";
+    # doc 3 is entirely made of already-seen passages.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f"), (3, "c d a b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.passage_dedup(df, w=2).collect()}
+    assert out[1].n_dropped == 0 and out[1].dedup_text == "a b c d"
+    assert out[2].n_dropped == 1 and out[2].dedup_text == "e f"
+    assert out[3].n_dropped == 2 and out[3].dedup_text == ""
+    assert all(out[i].n_passages == 2 for i in (1, 2, 3))
+
+
+def test_passage_dedup_clean_corpus_keeps_everything(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 30")
+    out = dedup.passage_dedup(docs, w=1000)  # one passage per doc, all unique
+    rows = out.collect()
+    assert len(rows) == 30
+    dropped = sum(r.n_dropped for r in rows)
+    # whole-doc passages: duplicates only if full docs are identical
+    n_unique = docs.select(F.lower("text")).distinct().count()
+    assert dropped == 30 - n_unique
