@@ -2430,6 +2430,60 @@ LEFT JOIN kept ON d.doc_id = kept.doc_id
 """
 
 
+CF_MIN_TOKENS = 25     # fixture docs run 10-99 tokens: ~15% drop
+CF_MAX_DUP2 = 0.05     # fixture dup-2gram runs 0-0.13: ~20% drop
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-filter cascade (operators/textops.py
+    corpus_filter): token-count bounds, mean-word-length band, stop-word
+    evidence, duplicate-2-gram gate — per-rule verdicts + conjunction.
+    Thresholds tuned so every rule drops some fixture docs (keep ~ 60%)."""
+    from pagerank_spark.operators.textops import corpus_filter
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_filter(docs, min_tokens=CF_MIN_TOKENS,
+                         max_dup_2gram=CF_MAX_DUP2)
+
+
+def _corpus_filter_sql(min_tokens: int = CF_MIN_TOKENS,
+                       max_tokens: int = 100_000,
+                       min_mwl: float = 3.0, max_mwl: float = 10.0,
+                       min_sw: int = 2,
+                       max_dup2: float = CF_MAX_DUP2) -> str:
+    from pagerank_spark.operators.textops import STOPWORDS
+    _EN_STOPWORDS = STOPWORDS["en"]
+    dup2 = ("CASE WHEN n_tokens - 1 <= 0 THEN 0.0 ELSE "
+            "round(1.0 - len(list_distinct(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i+1]))) / CAST(n_tokens - 1 AS DOUBLE), 6)"
+            " END")
+    return f"""
+WITH base AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN
+              ({', '.join(f"'{w}'" for w in _EN_STOPWORDS)}))) AS INT)
+           AS stop_hits
+  FROM base),
+s AS (
+  SELECT doc_id, n_tokens, stop_hits,
+         CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+           round(list_sum(list_transform(t, x -> len(x)))
+                 / CAST(n_tokens AS DOUBLE), 6) END AS mean_word_len,
+         {dup2} AS dup_2gram
+  FROM g)
+SELECT doc_id, n_tokens, mean_word_len, stop_hits, dup_2gram,
+       n_tokens >= {min_tokens} AND n_tokens <= {max_tokens} AS keep_length,
+       mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}
+         AS keep_wordlen,
+       stop_hits >= {min_sw} AS keep_stopwords,
+       dup_2gram <= {max_dup2} AS keep_repetition,
+       (n_tokens >= {min_tokens} AND n_tokens <= {max_tokens})
+         AND (mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl})
+         AND stop_hits >= {min_sw} AND dup_2gram <= {max_dup2} AS keep
+FROM s
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -3230,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "docs_repetition": q_docs_repetition,
         "passage_dedup": q_passage_dedup,
+        "corpus_filter": q_corpus_filter,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3303,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle_sql(),
         "docs_repetition": _repetition_oracle_sql(),
         "passage_dedup": _passage_dedup_sql(),
+        "corpus_filter": _corpus_filter_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -206,6 +206,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("docs_repetition", lambda: noop(repetition_stats(docs)))
     from pagerank_spark.operators.dedup import passage_dedup
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
+    from pagerank_spark.operators.textops import corpus_filter
+    timed("corpus_filter", lambda: noop(corpus_filter(docs, min_tokens=25)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

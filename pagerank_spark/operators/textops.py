@@ -298,3 +298,61 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         *[F.round(duplicate_ngram_fraction(t, n), 6).alias(f"dup_{n}gram")
           for n in (1, 2, 3)],
     ).withColumn("keep", F.col("dup_2gram") <= F.lit(max_dup_2gram))
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean token length in characters (0.0 for empty docs) — one
+    ``aggregate`` over the token array, no explode."""
+    tk = tokens(text)
+    total = F.aggregate(tk, F.lit(0),
+                        lambda acc, x: acc + F.length(x))
+    return F.when(F.size(tk) <= 0, F.lit(0.0)).otherwise(
+        total / F.size(tk).cast("double"))
+
+
+def corpus_filter(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_tokens: int = 50, max_tokens: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  min_stopword_hits: int = 2,
+                  max_dup_2gram: float = 0.4) -> DataFrame:
+    """Gopher/C4-style corpus quality-filter cascade as ONE narrow JVM
+    projection (Rae et al., Gopher, arXiv:2112.11446 §A.1.1; Raffel et
+    al., C4, arXiv:1910.10683 §2.2): token-count bounds, mean-word-length
+    band, minimum English stop-word evidence, and the duplicate-2-gram
+    repetition gate — per-rule verdicts plus the conjunction.
+
+    Returns ``(id, n_tokens, mean_word_len, stop_hits, dup_2gram,
+    keep_length, keep_wordlen, keep_stopwords, keep_repetition, keep)``.
+
+    Scale shape: a pure per-row mapper over built-in expressions — no
+    shuffle, no UDF, whole-stage codegen end to end; rules compare the
+    ROUNDED statistics (6 dp) so the verdicts are reproducible across
+    engines and partitionings.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    mwl = F.round(mean_word_length(t), 6)
+    sw = stopword_hits(t, "en")
+    d2 = F.round(duplicate_ngram_fraction(t, 2), 6)
+    out = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        sw.alias("stop_hits"),
+        d2.alias("dup_2gram"),
+    ).select(
+        "*",
+        ((F.col("n_tokens") >= min_tokens)
+         & (F.col("n_tokens") <= max_tokens)).alias("keep_length"),
+        ((F.col("mean_word_len") >= min_mean_word_len)
+         & (F.col("mean_word_len") <= max_mean_word_len)
+         ).alias("keep_wordlen"),
+        (F.col("stop_hits") >= min_stopword_hits).alias("keep_stopwords"),
+        (F.col("dup_2gram") <= max_dup_2gram).alias("keep_repetition"),
+    )
+    return out.select(
+        "*",
+        (F.col("keep_length") & F.col("keep_wordlen")
+         & F.col("keep_stopwords") & F.col("keep_repetition")).alias("keep"))

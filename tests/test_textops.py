@@ -210,3 +210,43 @@ def test_repetition_keep_threshold(spark):
     strict = repetition_stats(corpus, max_dup_2gram=0.0).collect()[0]
     loose = repetition_stats(corpus, max_dup_2gram=0.9).collect()[0]
     assert not strict.keep and loose.keep
+
+
+def test_mean_word_length(spark):
+    from pagerank_spark.operators.textops import mean_word_length
+    df = spark.createDataFrame(
+        [(1, "aa bbbb"), (2, ""), (3, None), (4, "  x   yy  ")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.m for r in
+            df.select("doc_id", mean_word_length(F.col("text")).alias("m"))
+            .collect()}
+    assert rows[1] == pytest.approx(3.0)
+    assert rows[2] == 0.0 and rows[3] == 0.0
+    assert rows[4] == pytest.approx(1.5)
+
+
+def test_corpus_filter_rules_and_conjunction(spark):
+    from pagerank_spark.operators.textops import corpus_filter
+    good = ("the quick brown fox jumps over the lazy sleeping dog while "
+            "many other animals watch quietly from behind those tall green "
+            "trees and wonder about this strange daily spectacle near that "
+            "winding river bank")
+    df = spark.createDataFrame(
+        [(1, good),                       # passes everything
+         (2, "short doc"),                # fails length
+         (3, ("supercalifragilistic " * 60).strip()),  # word len + stopwords
+         (4, ("the of and to a in is it that was for on " * 10).strip())],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            corpus_filter(df, min_tokens=30, max_dup_2gram=0.6).collect()}
+    assert rows[1].keep and rows[1].keep_length and rows[1].keep_stopwords
+    assert not rows[2].keep_length and not rows[2].keep
+    assert not rows[3].keep_wordlen and not rows[3].keep_stopwords
+    assert not rows[3].keep
+    # doc 4: all stopwords, extremely repetitive 2-grams
+    assert rows[4].keep_stopwords and not rows[4].keep_repetition
+    assert not rows[4].keep
+    # verdicts are the conjunction of the per-rule columns
+    for r in rows.values():
+        assert r.keep == (r.keep_length and r.keep_wordlen
+                          and r.keep_stopwords and r.keep_repetition)
