@@ -333,6 +333,55 @@ SELECT id, min(r) AS component FROM walk GROUP BY id
 """
 
 
+MIS_ORACLE_ROUNDS = 10  # fixture converges in 5; extra rounds are no-ops
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-Luby maximal independent set (operators/mis.py): every
+    vertex with its in/out verdict and decision round. The md5-derived
+    per-round priority makes the whole fixpoint reproducible in SQL; the
+    oracle unrolls {MIS_ORACLE_ROUNDS} rounds (rounds past the fixpoint
+    are no-ops on an empty active set)."""
+    from pagerank_spark.operators.mis import maximal_independent_set
+    g = _graph(spark, sf_dir)
+    res = maximal_independent_set(_edges(spark, sf_dir),
+                                  universe=g.vertices.select("id"))
+    assert res.converged, "MIS did not converge within max_rounds"
+    return res.members
+
+
+def _mis_sql(rounds: int = MIS_ORACLE_ROUNDS) -> str:
+    parts = [_E_SQL, _U_SQL, _S_SQL, _SYM_SQL,
+             "a0 AS (SELECT id FROM u)",
+             "e0 AS MATERIALIZED (SELECT src AS x, dst AS y FROM sym)"]
+    decided = []
+    for r in range(rounds):
+        parts += [
+            (f"p{r} AS MATERIALIZED (SELECT id, ('0x' || substr(md5("
+             f"CAST(id AS VARCHAR) || ':{r}'), 1, 15))::BIGINT AS h "
+             f"FROM a{r})"),
+            (f"w{r} AS MATERIALIZED (SELECT p.id FROM p{r} p "
+             f"WHERE NOT EXISTS (SELECT 1 FROM e{r} e JOIN p{r} q "
+             f"ON q.id = e.y WHERE e.x = p.id "
+             f"AND (q.h < p.h OR (q.h = p.h AND q.id < p.id))))"),
+            (f"l{r} AS MATERIALIZED (SELECT DISTINCT e.y AS id "
+             f"FROM e{r} e JOIN w{r} w ON e.x = w.id)"),
+            (f"d{r} AS (SELECT id, TRUE AS in_mis, {r} AS round FROM w{r} "
+             f"UNION ALL SELECT id, FALSE, {r} FROM l{r})"),
+            (f"g{r} AS MATERIALIZED "
+             f"(SELECT id FROM w{r} UNION ALL SELECT id FROM l{r})"),
+            (f"a{r+1} AS MATERIALIZED (SELECT id FROM a{r} "
+             f"WHERE id NOT IN (SELECT id FROM g{r}))"),
+            (f"e{r+1} AS MATERIALIZED (SELECT x, y FROM e{r} "
+             f"WHERE x NOT IN (SELECT id FROM g{r}) "
+             f"AND y NOT IN (SELECT id FROM g{r}))"),
+        ]
+        decided.append(f"SELECT * FROM d{r}")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT id, in_mis, CAST(round AS INT) AS round FROM ("
+            + " UNION ALL ".join(decided) + ")")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.labelprop import label_propagation
     g = _graph(spark, sf_dir)
@@ -3285,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "passage_dedup": q_passage_dedup,
         "corpus_filter": q_corpus_filter,
+        "maximal_independent_set": q_mis,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3359,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _repetition_oracle_sql(),
         "passage_dedup": _passage_dedup_sql(),
         "corpus_filter": _corpus_filter_sql(),
+        "maximal_independent_set": _mis_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

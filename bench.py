@@ -116,6 +116,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.scc import strongly_connected_components
     timed("coreness_8r", lambda: noop(coreness(edges, max_rounds=8).cores))
     timed("scc", lambda: noop(strongly_connected_components(edges).labels))
+    from pagerank_spark.operators.mis import maximal_independent_set
+    timed("mis", lambda: noop(maximal_independent_set(edges).members))
     from pagerank_spark.operators.betweenness import betweenness
     from pagerank_spark.operators.contraction import contract_graph
     from pagerank_spark.operators.hits import salsa

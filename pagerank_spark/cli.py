@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
                             "mcpagerank", "node2vec", "seededlp", "katz",
-                            "redirects", "eigenvector", "sssp"],
+                            "redirects", "eigenvector", "sssp", "mis"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -182,6 +182,11 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         res = strongly_connected_components(edges, universe=universe,
                                             max_rounds=args.max_iteration)
         out, tail = res.labels, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "mis":
+        from pagerank_spark.operators.mis import maximal_independent_set
+        res = maximal_independent_set(edges, universe=universe,
+                                      max_rounds=args.max_iteration)
+        out, tail = res.members, f"rounds={res.rounds} converged={res.converged}"
     elif args.algo == "anf":
         from pagerank_spark.operators.neighborhood import (
             distance_stats, neighborhood_function_hll)

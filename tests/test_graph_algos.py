@@ -239,3 +239,64 @@ def test_components_incremental_warm_start(spark):
     assert got == want
     assert warm.converged
     assert warm.rounds < cold.rounds  # the prior structure contracted in round 1
+
+
+def _mis_python_oracle(edges, n):
+    """Reference deterministic-Luby MIS (same md5 priority)."""
+    import hashlib
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def pri(v, r):
+        return (int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:15], 16), v)
+
+    active, out, r = set(range(n)), {}, 0
+    while active:
+        p = {v: pri(v, r) for v in active}
+        winners = {v for v in active
+                   if all(p[v] < p[u] for u in adj.get(v, ()) if u in active)}
+        losers = set()
+        for w in winners:
+            losers |= adj.get(w, set()) & active
+        losers -= winners
+        for v in winners:
+            out[v] = (True, r)
+        for v in losers:
+            out[v] = (False, r)
+        active -= winners | losers
+        r += 1
+    return out
+
+
+@pytest.mark.parametrize("n,m,tag", [(150, 400, 21), (80, 60, 22)])
+def test_mis_random_exact(spark, n, m, tag):
+    from pagerank_spark.operators.mis import maximal_independent_set
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = maximal_independent_set(df, universe=spark.range(n))
+    assert res.converged
+    got = {r_.id: (r_.in_mis, r_.round) for r_ in res.members.collect()}
+    assert got == _mis_python_oracle(edges, n)
+
+
+def test_mis_is_independent_and_maximal(spark):
+    from pagerank_spark.operators.mis import maximal_independent_set
+    edges = _random_edges(100, 300, 33)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = maximal_independent_set(df, universe=spark.range(100))
+    mis = {r.id for r in res.members.filter("in_mis").collect()}
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for v, ns in adj.items():
+        if v in mis:
+            assert not (ns & mis), (v, ns & mis)   # independence
+    for v in range(100):
+        assert v in mis or (adj.get(v, set()) & mis), v  # maximality
