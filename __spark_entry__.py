@@ -382,6 +382,75 @@ def _mis_sql(rounds: int = MIS_ORACLE_ROUNDS) -> str:
             + " UNION ALL ".join(decided) + ")")
 
 
+MSF_ORACLE_ROUNDS = 4   # fixture converges in 2; extra rounds are no-ops
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (operators/mst.py): deterministic
+    (w, a, b)-ordered MSF of the multiplicity-weighted undirected graph —
+    the single-linkage backbone. Oracle unrolls {MSF_ORACLE_ROUNDS}
+    Borůvka rounds, each contracting through its own recursive min-reach
+    walk over that round's chosen component graph."""
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+    res = minimum_spanning_forest(_edges(spark, sf_dir))
+    assert res.converged, "MSF did not converge within max_rounds"
+    return res.edges
+
+
+def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, doublings: int = 12) -> str:
+    # No WITH RECURSIVE anywhere: a recursive CTE above a deep CTE chain
+    # re-inlines the chain on every iteration (MATERIALIZED is not honored
+    # under recursion), which is exponential. Instead, each round's chosen
+    # graph is FUNCTIONAL — every component picks exactly one edge, succ
+    # chains strictly decrease in (w, a, b) until a mutual 2-cycle — so
+    # contraction is pointer DOUBLING: s_{k+1}(c) = s_k(s_k(c)); after
+    # 2^doublings >= any chain depth, every c sits on its 2-cycle {u, v}
+    # and least(s(c), succ(s(c))) is a consistent per-component label
+    # (the forest output only depends on the partition, not label values).
+    parts = [
+        _E_SQL,
+        ("we AS MATERIALIZED (SELECT least(src, dst) AS a, "
+         "greatest(src, dst) AS b, CAST(count(*) AS DOUBLE) AS w "
+         "FROM e WHERE src <> dst GROUP BY 1, 2)"),
+        "c0 AS (SELECT a AS id FROM we UNION SELECT b FROM we)",
+        "m0 AS MATERIALIZED (SELECT id, id AS c FROM c0)",
+    ]
+    chosen_all = []
+    for r in range(rounds):
+        parts += [
+            (f"x{r} AS MATERIALIZED (SELECT we.a, we.b, we.w, "
+             f"ma.c AS ca, mb.c AS cb FROM we "
+             f"JOIN m{r} ma ON ma.id = we.a "
+             f"JOIN m{r} mb ON mb.id = we.b WHERE ma.c <> mb.c)"),
+            (f"cand{r} AS (SELECT ca AS c, w, a, b, cb AS other FROM x{r} "
+             f"UNION ALL SELECT cb, w, a, b, ca FROM x{r})"),
+            (f"pick{r} AS MATERIALIZED (SELECT c, w, a, b, other FROM ("
+             f"SELECT c, w, a, b, other, row_number() OVER "
+             f"(PARTITION BY c ORDER BY w, a, b) AS rn FROM cand{r}) "
+             f"WHERE rn = 1)"),
+            f"ch{r} AS MATERIALIZED (SELECT DISTINCT a, b, w FROM pick{r})",
+            # functional successor over components; finished comps self-loop
+            (f"s{r}_0 AS MATERIALIZED (SELECT cc.c, "
+             f"coalesce(p.other, cc.c) AS s FROM "
+             f"(SELECT DISTINCT c FROM m{r}) cc "
+             f"LEFT JOIN pick{r} p ON p.c = cc.c)"),
+        ]
+        for k in range(doublings):
+            parts.append(
+                f"s{r}_{k + 1} AS MATERIALIZED (SELECT x.c, y.s FROM "
+                f"s{r}_{k} x JOIN s{r}_{k} y ON y.c = x.s)")
+        parts += [
+            (f"nl{r} AS MATERIALIZED (SELECT f.c, least(f.s, g.s) AS nc "
+             f"FROM s{r}_{doublings} f JOIN s{r}_0 g ON g.c = f.s)"),
+            (f"m{r + 1} AS MATERIALIZED (SELECT m.id, nl.nc AS c "
+             f"FROM m{r} m JOIN nl{r} nl ON nl.c = m.c)"),
+        ]
+        chosen_all.append(f"SELECT a, b, w FROM ch{r}")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT a, b, w FROM ("
+            + " UNION ALL ".join(chosen_all) + ")")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.labelprop import label_propagation
     g = _graph(spark, sf_dir)
@@ -3281,8 +3350,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 74
-    # queries, 24 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With 86
+    # queries, 36 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) were not
     # scored last round, (b) had their implementation changed this round,
     # or (c) are new this round; entries with current driver-green rows
@@ -3335,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "corpus_filter": q_corpus_filter,
         "maximal_independent_set": q_mis,
+        "minimum_spanning_forest": q_msf,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3410,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": _passage_dedup_sql(),
         "corpus_filter": _corpus_filter_sql(),
         "maximal_independent_set": _mis_sql(),
+        "minimum_spanning_forest": _msf_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -118,6 +118,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("scc", lambda: noop(strongly_connected_components(edges).labels))
     from pagerank_spark.operators.mis import maximal_independent_set
     timed("mis", lambda: noop(maximal_independent_set(edges).members))
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+    timed("msf", lambda: noop(minimum_spanning_forest(edges).edges))
     from pagerank_spark.operators.betweenness import betweenness
     from pagerank_spark.operators.contraction import contract_graph
     from pagerank_spark.operators.hits import salsa

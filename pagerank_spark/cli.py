@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
                             "mcpagerank", "node2vec", "seededlp", "katz",
-                            "redirects", "eigenvector", "sssp", "mis"],
+                            "redirects", "eigenvector", "sssp", "mis", "mst"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -187,6 +187,11 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         res = maximal_independent_set(edges, universe=universe,
                                       max_rounds=args.max_iteration)
         out, tail = res.members, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "mst":
+        from pagerank_spark.operators.mst import minimum_spanning_forest
+        res = minimum_spanning_forest(edges, weight_col=args.weight_col,
+                                      max_rounds=args.max_iteration)
+        out, tail = res.edges, f"rounds={res.rounds} converged={res.converged}"
     elif args.algo == "anf":
         from pagerank_spark.operators.neighborhood import (
             distance_stats, neighborhood_function_hll)

@@ -1,0 +1,106 @@
+"""Minimum spanning forest: deterministic distributed Borůvka.
+
+Absent from the reference (a CUDA PageRank kernel) — engine-surface depth
+in the SURVEY.md §2.9 family. Algorithm: Borůvka (1926), THE parallel MST
+algorithm (each round every component grabs its lightest outgoing edge,
+components merge, count at least halves → ≤ log2(V) rounds); the classic
+MapReduce/Pregel formulation. Edge comparison is the lexicographic triple
+``(w, a, b)`` — a deterministic total order, so the forest is unique and
+equal to Kruskal's under the same order (tie-broken MSTs are unique), and
+the whole fixpoint is reproducible under any partitioning.
+
+On the link graph this yields the single-linkage backbone of the
+similarity/co-citation graph (min spanning forest under distance = e.g.
+1/multiplicity) — the skeleton hierarchical clustering peels.
+
+Scale shape (10^12 edges): a round is two J1-shaped equi-joins (edge
+endpoints -> component labels), one min-struct hash aggregate per side
+(map-side combinable — a hot component collapses to one partial per input
+partition), and a contraction that runs hash-min components over the
+CHOSEN edge set only, which has at most one edge per component (star
+forests — pointer-ish graphs that hash-min collapses in few rounds).
+Edge set never grows; crossing edges shrink geometrically. No windows,
+no driver-side state beyond per-round convergence scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MSFResult:
+    edges: DataFrame        # (a, b, w) — canonical a<b forest edges
+    rounds: int
+    converged: bool
+
+
+def minimum_spanning_forest(edges: DataFrame, weight_col: str | None = None,
+                            max_rounds: int = 24) -> MSFResult:
+    """Borůvka minimum spanning forest of the undirected graph of
+    ``edges (src, dst[, weight_col])``.
+
+    Self-loops are dropped; parallel edges collapse to their minimum
+    weight; with ``weight_col=None`` every edge weighs its multiplicity
+    (total over both directions), so the forest prefers single-mention
+    links — pass an explicit weight column for metric semantics.
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0)).alias("w"))
+    agg = F.min("w") if weight_col else F.sum("w")
+    we = e.groupBy("a", "b").agg(agg.alias("w")).localCheckpoint(eager=True)
+
+    comp = (we.select(F.col("a").alias("id"))
+            .unionByName(we.select(F.col("b").alias("id"))).distinct()
+            .select("id", F.col("id").alias("c"))
+            .localCheckpoint(eager=True))
+    forest: DataFrame | None = None
+    rounds, converged = 0, False
+
+    for _ in range(max_rounds):
+        lab = comp.withColumnRenamed("id", "v")
+        cross = (we
+                 .join(lab.select(F.col("v").alias("a"),
+                                  F.col("c").alias("ca")), "a")
+                 .join(lab.select(F.col("v").alias("b"),
+                                  F.col("c").alias("cb")), "b")
+                 .filter(F.col("ca") != F.col("cb")))
+        key = F.struct("w", "a", "b")
+        cand = (cross.select(F.col("ca").alias("c"), key.alias("k"))
+                .unionByName(cross.select(F.col("cb").alias("c"),
+                                          key.alias("k"))))
+        chosen = (cand.groupBy("c").agg(F.min("k").alias("k"))
+                  .select("k.a", "k.b", "k.w").distinct()
+                  .localCheckpoint(eager=True))
+        if chosen.isEmpty():
+            converged = True
+            break
+        rounds += 1
+        forest = (chosen if forest is None
+                  else forest.unionByName(chosen)).localCheckpoint(eager=True)
+        # contract: hash-min components over the chosen COMPONENT graph
+        from pagerank_spark.operators.components import connected_components
+        cg = (chosen
+              .join(lab.select(F.col("v").alias("a"),
+                               F.col("c").alias("src")), "a")
+              .join(lab.select(F.col("v").alias("b"),
+                               F.col("c").alias("dst")), "b")
+              .select("src", "dst"))
+        newlab = connected_components(cg).labels  # (id=old c, component)
+        comp = (comp.join(newlab.withColumnRenamed("id", "c"), "c", "left")
+                .select("id", F.coalesce("component", "c").alias("c"))
+                .localCheckpoint(eager=True))
+    else:
+        converged = False
+
+    spark = edges.sparkSession
+    if forest is None:
+        forest = spark.createDataFrame([], "a long, b long, w double")
+    return MSFResult(edges=forest.select("a", "b", "w"),
+                     rounds=rounds, converged=converged)

@@ -264,18 +264,27 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
 # -- repetition filter (Gopher-style) ----------------------------------------
 
 
-def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+def duplicate_ngram_fraction(text: Column, n: int, *,
+                             toks: Column | None = None) -> Column:
     """Fraction of token n-grams that are repeats of an earlier n-gram:
     1 - distinct/total (0.0 for docs shorter than n tokens). The in-doc
     repetition signal used by corpus quality filters (Rae et al., Gopher,
     arXiv:2112.11446 §A.1.2 — count-based variant). All JVM array
     expressions: n-grams come from one ``transform`` over an index
-    ``sequence``, dedup via ``array_distinct`` — no shuffle, no UDF."""
-    toks = tokens(text)
-    total = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ``sequence``, dedup via ``array_distinct`` — no shuffle, no UDF.
+
+    ``toks``: optional pre-projected token-array ATTRIBUTE. The transform
+    lambda reads its n-gram members via ``element_at(toks, ·)``, and a raw
+    ``tokens(text)`` subtree there is re-evaluated PER ARRAY ELEMENT
+    (higher-order functions run interpreted, no common-subexpression
+    elimination) — the regex split executes ~n_tokens times per row,
+    measured ~10x on bench docs. Callers that can, project the token
+    array once and pass the column."""
+    tk = tokens(text) if toks is None else toks
+    total = F.size(tk) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.size(tk) - F.lit(n))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1)
                                           for j in range(n)]))
     frac = (F.lit(1.0)
             - F.size(F.array_distinct(grams)) / total.cast("double"))
@@ -290,20 +299,27 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     (id, n_tokens, dup_1gram, dup_2gram, dup_3gram, keep) where dup_n is
     :func:`duplicate_ngram_fraction` and ``keep`` applies the 2-gram
     threshold (Gopher drops docs whose duplicate 2-gram share is high).
-    Narrow per-row projection — scales as a mapper over the corpus."""
+    Narrow two-projection mapper — tokens materialize once per row (see
+    duplicate_ngram_fraction: a shared subtree inside the transform lambda
+    would re-split per element; CollapseProject keeps the non-cheap alias
+    un-inlined) — scales as a mapper over the corpus."""
     t = F.col(text_col)
+    tk = F.col("__tk")
     return docs.select(
+        F.col(id_col), tokens(t).alias("__tk")
+    ).select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
-        *[F.round(duplicate_ngram_fraction(t, n), 6).alias(f"dup_{n}gram")
-          for n in (1, 2, 3)],
+        F.size(tk).alias("n_tokens"),
+        *[F.round(duplicate_ngram_fraction(t, n, toks=tk), 6)
+          .alias(f"dup_{n}gram") for n in (1, 2, 3)],
     ).withColumn("keep", F.col("dup_2gram") <= F.lit(max_dup_2gram))
 
 
-def mean_word_length(text: Column) -> Column:
+def mean_word_length(text: Column, *, toks: Column | None = None) -> Column:
     """Mean token length in characters (0.0 for empty docs) — one
-    ``aggregate`` over the token array, no explode."""
-    tk = tokens(text)
+    ``aggregate`` over the token array, no explode. ``toks``: optional
+    pre-projected token array (duplicate_ngram_fraction discipline)."""
+    tk = tokens(text) if toks is None else toks
     total = F.aggregate(tk, F.lit(0),
                         lambda acc, x: acc + F.length(x))
     return F.when(F.size(tk) <= 0, F.lit(0.0)).otherwise(
@@ -327,21 +343,22 @@ def corpus_filter(docs: DataFrame, id_col: str = "doc_id",
     keep_length, keep_wordlen, keep_stopwords, keep_repetition, keep)``.
 
     Scale shape: a pure per-row mapper over built-in expressions — no
-    shuffle, no UDF, whole-stage codegen end to end; rules compare the
-    ROUNDED statistics (6 dp) so the verdicts are reproducible across
-    engines and partitionings.
+    shuffle, no UDF; the token array materializes once per row (the
+    duplicate_ngram_fraction lambda re-splits per element otherwise);
+    rules compare the ROUNDED statistics (6 dp) so the verdicts are
+    reproducible across engines and partitionings.
     """
     t = F.col(text_col)
-    n_tok = token_count(t)
-    mwl = F.round(mean_word_length(t), 6)
-    sw = stopword_hits(t, "en")
-    d2 = F.round(duplicate_ngram_fraction(t, 2), 6)
+    tk = F.col("__tk")
+    sw_list = STOPWORDS["en"]
     out = docs.select(
+        F.col(id_col), tokens(t).alias("__tk")
+    ).select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        mwl.alias("mean_word_len"),
-        sw.alias("stop_hits"),
-        d2.alias("dup_2gram"),
+        F.size(tk).alias("n_tokens"),
+        F.round(mean_word_length(t, toks=tk), 6).alias("mean_word_len"),
+        F.size(F.filter(tk, lambda x: x.isin(*sw_list))).alias("stop_hits"),
+        F.round(duplicate_ngram_fraction(t, 2, toks=tk), 6).alias("dup_2gram"),
     ).select(
         "*",
         ((F.col("n_tokens") >= min_tokens)

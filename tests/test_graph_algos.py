@@ -300,3 +300,56 @@ def test_mis_is_independent_and_maximal(spark):
             assert not (ns & mis), (v, ns & mis)   # independence
     for v in range(100):
         assert v in mis or (adj.get(v, set()) & mis), v  # maximality
+
+
+def _kruskal(edges_w):
+    """Reference MSF under the (w, a, b) total order (union-find)."""
+    verts = {v for a, b, _ in edges_w for v in (a, b)}
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for a, b, w in sorted(edges_w, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def _canonical_weighted(edges):
+    from collections import Counter
+    cnt = Counter()
+    for s, d in edges:
+        if s != d:
+            cnt[(min(s, d), max(s, d))] += 1
+    return [(a, b, float(w)) for (a, b), w in cnt.items()]
+
+
+@pytest.mark.parametrize("n,m,tag", [(120, 300, 41), (60, 40, 42)])
+def test_msf_matches_kruskal(spark, n, m, tag):
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = minimum_spanning_forest(df)
+    assert res.converged
+    got = sorted((r.a, r.b, r.w) for r in res.edges.collect())
+    assert got == _kruskal(_canonical_weighted(edges))
+
+
+def test_msf_explicit_weights_and_forest_shape(spark):
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+    # two components: a 4-cycle with one heavy edge, plus a separate pair
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 5.0), (3, 0, 1.0),
+            (10, 11, 2.0), (11, 10, 7.0)]   # parallel edge: min wins
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    res = minimum_spanning_forest(df, weight_col="w")
+    got = sorted((r.a, r.b, r.w) for r in res.edges.collect())
+    # spanning forest: 4-vertex comp -> 3 edges (heavy 2-3 excluded),
+    # pair comp -> 1 edge at its min parallel weight
+    assert got == [(0, 1, 1.0), (0, 3, 1.0), (1, 2, 1.0), (10, 11, 2.0)]
