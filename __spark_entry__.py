@@ -2602,6 +2602,72 @@ FROM s
 """
 
 
+PACK_BUDGET = 256   # tokens per training sequence (fixture docs: 10-99)
+PACK_BUCKETS = 8    # parallel packing streams
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (operators/splits.py
+    pack_sequences): hash-bucketed parallel streams, deterministic order,
+    running-sum offsets, first/last {PACK_BUDGET}-token chunk per doc."""
+    from pagerank_spark.operators.splits import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=PACK_BUDGET,
+                          buckets=PACK_BUCKETS)
+
+
+def _pack_sequences_sql(budget: int = PACK_BUDGET,
+                        buckets: int = PACK_BUCKETS,
+                        salt: str = "pack") -> str:
+    h = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{s}'), 1, 15))"
+         "::BIGINT")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         {h.format(s=salt)} % {buckets}) AS bucket,
+         {h.format(s=salt + ':o')}) AS ord,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+w AS (
+  SELECT id, bucket, n_tokens,
+         CAST(row_number() OVER win - 1 AS INT) AS pos,
+         CAST(sum(n_tokens) OVER win - n_tokens AS BIGINT) AS start_offset
+  FROM base WINDOW win AS (PARTITION BY bucket ORDER BY ord, id))
+SELECT id, bucket, pos, n_tokens, start_offset,
+       CAST(floor(start_offset / {budget}.0) AS BIGINT) AS seq_first,
+       CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / {budget}.0)
+            AS BIGINT) AS seq_last
+FROM w
+"""
+
+
+STRAT_RATES = {"en": 0.5, "zh": 1.0, "de": 0.8}   # fixture langs; fr/es
+STRAT_DEFAULT = 0.25                              # fall to the default
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic corpus balancing (operators/splits.py
+    stratified_sample): down-sample dominant en, keep all zh, default
+    rate for unlisted fr/es — every row a pure function of doc_id."""
+    from pagerank_spark.operators.splits import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", STRAT_RATES,
+                             default_rate=STRAT_DEFAULT
+                             ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from pagerank_spark.operators.splits import BUCKETS, duckdb_bucket_sql
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * BUCKETS))}"
+        for s, r in sorted(STRAT_RATES.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {duckdb_bucket_sql('doc_id')}
+      < (CASE {cases} ELSE {int(round(STRAT_DEFAULT * BUCKETS))} END)
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -3405,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "maximal_independent_set": q_mis,
         "minimum_spanning_forest": q_msf,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3481,6 +3549,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": _corpus_filter_sql(),
         "maximal_independent_set": _mis_sql(),
         "minimum_spanning_forest": _msf_sql(),
+        "pack_sequences": _pack_sequences_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

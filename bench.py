@@ -224,6 +224,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.splits import dataset_split
     from pagerank_spark.operators.textops import tfidf_top_terms
     timed("docs_dataset_split", lambda: noop(dataset_split(docs, "doc_id")))
+    from pagerank_spark.operators.splits import (pack_sequences,
+                                                 stratified_sample)
+    timed("pack_sequences", lambda: noop(pack_sequences(docs, buckets=8)))
+    timed("stratified_sample", lambda: noop(stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.25)))
     timed("docs_tfidf_top3", lambda: noop(tfidf_top_terms(docs, k=3)))
     from pagerank_spark.operators.decontam import decontaminate_split
     timed("decontaminate",

@@ -103,3 +103,85 @@ def duckdb_bucket_sql(key_expr: str, salt: str = "") -> str:
     """The DuckDB expression computing exactly ``split_bucket`` (oracle)."""
     s = f"CAST({key_expr} AS VARCHAR) || '{salt}'" if salt else f"CAST({key_expr} AS VARCHAR)"
     return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT % {BUCKETS})"
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
+                   buckets: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text", salt: str = "pack") -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing: assign every
+    document a position in a fixed-width token stream, the way LLM
+    pretraining packs documents into ``budget_tokens``-sized training
+    sequences (concatenate in a fixed order, cut every ``budget_tokens``;
+    documents may straddle a cut — the standard GPT-style packing).
+
+    Documents are distributed over ``buckets`` independent streams by key
+    hash and ordered within a stream by ``(hash, id)`` — both pure
+    functions of the document key, so the packing is reproducible across
+    runs, cluster sizes, and partitionings, and each stream is packed in
+    parallel. Returns per document::
+
+        (id, bucket, pos, n_tokens, start_offset, seq_first, seq_last)
+
+    where ``start_offset`` is the exclusive running token count before the
+    doc in its stream and ``seq_first``/``seq_last`` the first/last
+    ``budget_tokens``-chunk it lands in.
+
+    Scale shape: the only wide op is one window partitioned BY BUCKET —
+    at 10^12 docs pick buckets ~ corpus_tokens / (executor-sized stream),
+    so every window partition is bounded and independent; there is no
+    global sort and no driver state. (A greedy first-fit bin packer is
+    inherently sequential per stream; concat-and-chunk is what training
+    pipelines actually do, and it is exactly expressible as a running
+    sum.)
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.textops import token_count
+
+    key = F.col(id_col)
+    base = docs.select(
+        key.alias("id"),
+        F.pmod(shared_hash60(F.concat(key.cast("string"), F.lit(salt))),
+               F.lit(buckets)).alias("bucket"),
+        shared_hash60(F.concat(key.cast("string"), F.lit(salt + ":o"))
+                      ).alias("ord"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("bucket").orderBy("ord", "id")
+    cum = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    out = base.select(
+        "id", "bucket",
+        (F.row_number().over(w) - F.lit(1)).alias("pos"),
+        "n_tokens",
+        cum.alias("start_offset"))
+    return out.select(
+        "id", "bucket", "pos", "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / budget_tokens).alias("seq_first"),
+        F.floor((F.col("start_offset")
+                 + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / budget_tokens).alias("seq_last"))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Deterministic per-stratum hash sampling: keep each row with its
+    stratum's rate (strata value -> rate in [0, 1]; unlisted strata get
+    ``default_rate``). The corpus-balancing primitive — e.g. down-sample
+    dominant languages or low-quality tiers while keeping every rare
+    stratum — with all of hash_sample's guarantees: reproducible across
+    runs/partitionings, NESTED per stratum (raising one stratum's rate
+    only ever adds rows), and a pure narrow filter (one CASE over the
+    stratum value against the shared key hash — no shuffle, no per-stratum
+    scan, pushes beneath downstream joins).
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1]: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    bucket = split_bucket(F.col(key_col), salt)
+    thr = F.lit(int(round(default_rate * BUCKETS)))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == s,
+                     F.lit(int(round(r * BUCKETS)))).otherwise(thr)
+    return df.filter(bucket < thr)

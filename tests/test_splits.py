@@ -111,3 +111,86 @@ def test_split_plan_is_narrow(spark, docs):
     plan = dataset_split(docs, "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _pack(spark, docs, **kw):
+    from pagerank_spark.operators.splits import pack_sequences
+    return pack_sequences(docs, **kw)
+
+
+def test_pack_sequences_offsets_are_stream_cumsums(spark, docs):
+    rows = _pack(spark, docs, budget_tokens=256, buckets=4).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(rows) == docs.count()
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.pos)
+        off = 0
+        for i, r in enumerate(rs):
+            assert r.pos == i
+            assert r.start_offset == off
+            assert r.seq_first == off // 256
+            assert r.seq_last == (off + max(r.n_tokens - 1, 0)) // 256
+            off += r.n_tokens
+
+
+def test_pack_sequences_partition_invariant(spark, docs):
+    a = {r.id: (r.bucket, r.pos, r.start_offset)
+         for r in _pack(spark, docs, buckets=4).collect()}
+    b = {r.id: (r.bucket, r.pos, r.start_offset)
+         for r in _pack(spark, docs.repartition(13), buckets=4).collect()}
+    assert a == b
+
+
+def test_pack_sequences_straddle(spark):
+    # one stream; budget smaller than some docs forces straddling chunks
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(7))) for i in range(10)],
+        "doc_id long, text string")
+    rows = _pack(spark, docs, budget_tokens=10, buckets=1).collect()
+    rows.sort(key=lambda r: r.pos)
+    assert [r.n_tokens for r in rows] == [7] * 10
+    # doc starting at offset 7 spans tokens 7..13 -> chunks 0 and 1
+    straddler = rows[1]
+    assert straddler.start_offset == 7
+    assert (straddler.seq_first, straddler.seq_last) == (0, 1)
+
+
+def test_stratified_sample_rates_and_nesting(spark, docs):
+    from pagerank_spark.operators.splits import stratified_sample
+    lo = stratified_sample(docs, "doc_id", "lang", {"en": 0.3},
+                           default_rate=0.1)
+    hi = stratified_sample(docs, "doc_id", "lang", {"en": 0.7},
+                           default_rate=0.1)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids                      # nested per stratum
+    # zero default drops every unlisted stratum; rate 1.0 keeps all of one
+    full = stratified_sample(docs, "doc_id", "lang", {"zh": 1.0},
+                             default_rate=0.0)
+    got = full.groupBy("lang").count().collect()
+    want_zh = docs.filter("lang = 'zh'").count()
+    assert {(r.lang, r["count"]) for r in got} == {("zh", want_zh)}
+
+
+def test_stratified_sample_matches_python_oracle(spark, docs):
+    from pagerank_spark.operators.splits import stratified_sample
+    rates, default = {"en": 0.5, "de": 0.8}, 0.25
+    got = {r.doc_id for r in
+           stratified_sample(docs, "doc_id", "lang", rates,
+                             default_rate=default).collect()}
+    want = set()
+    for r in docs.select("doc_id", "lang").collect():
+        thr = int(round(rates.get(r.lang, default) * BUCKETS))
+        if _py_bucket(r.doc_id) < thr:
+            want.add(r.doc_id)
+    assert got == want
+
+
+def test_stratified_sample_rejects_bad_rates(spark, docs):
+    from pagerank_spark.operators.splits import stratified_sample
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {}, default_rate=-0.1)
