@@ -451,6 +451,68 @@ def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, doublings: int = 12) -> str:
             + " UNION ALL ".join(chosen_all) + ")")
 
 
+DENSEST_K = 48          # planted clique size (makes the peel non-trivial:
+DENSEST_EPS = 0.1       # the base graph is near-regular and would peel in
+DENSEST_ROUNDS = 6      # one round; with K48 + eps=0.1 it takes 4)
+
+
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani-Kumar-Vassilvitskii densest-subgraph peel
+    (operators/densest.py): per-round (|V|, |E|, density) stats + the
+    best-iterate flag over the base graph with a planted K{DENSEST_K}."""
+    from pagerank_spark.operators.densest import densest_subgraph
+    i = spark.range(DENSEST_K).select(F.col("id").alias("ci"))
+    clique = (i.crossJoin(i.select(F.col("ci").alias("cj")))
+              .filter(F.col("ci") < F.col("cj"))
+              .select(F.col("ci").alias("src"), F.col("cj").alias("dst")))
+    edges = _edges(spark, sf_dir).unionByName(clique)
+    res = densest_subgraph(edges, epsilon=DENSEST_EPS)
+    return res.stats.select(
+        "round", "n_vertices", "n_edges",
+        F.round("density", 6).alias("density"), "is_best")
+
+
+def _densest_sql(rounds: int = DENSEST_ROUNDS, k: int = DENSEST_K,
+                 eps: float = DENSEST_EPS) -> str:
+    factor = f"CAST({2.0 * (1.0 + eps)!r} AS DOUBLE)"
+    parts = [
+        _E_SQL,
+        (f"cl AS (SELECT i.i AS src, j.i AS dst FROM "
+         f"(SELECT unnest(range({k})) AS i) i, "
+         f"(SELECT unnest(range({k})) AS i) j WHERE i.i < j.i)"),
+        ("e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+         "greatest(src, dst) AS b FROM "
+         "(SELECT src, dst FROM e UNION ALL SELECT src, dst FROM cl) "
+         "WHERE src <> dst)"),
+        "v0 AS MATERIALIZED (SELECT a AS id FROM e0 UNION SELECT b FROM e0)",
+    ]
+    st = []
+    for r in range(rounds):
+        parts += [
+            (f"s{r} AS MATERIALIZED (SELECT "
+             f"(SELECT count(*) FROM v{r}) AS nv, "
+             f"(SELECT count(*) FROM e{r}) AS ne)"),
+            (f"d{r} AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+             f"(SELECT a AS id FROM e{r} UNION ALL SELECT b FROM e{r}) "
+             f"GROUP BY id)"),
+            (f"v{r + 1} AS MATERIALIZED (SELECT v.id FROM v{r} v "
+             f"LEFT JOIN d{r} d ON d.id = v.id CROSS JOIN s{r} s "
+             f"WHERE coalesce(d.d, 0) "
+             f"> {factor} * (s.ne / CAST(s.nv AS DOUBLE)))"),
+            (f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r} "
+             f"WHERE a IN (SELECT id FROM v{r + 1}) "
+             f"AND b IN (SELECT id FROM v{r + 1}))"),
+        ]
+        st.append(f"SELECT {r} AS round, nv, ne, "
+                  f"ne / CAST(nv AS DOUBLE) AS rho FROM s{r} WHERE nv > 0")
+    return ("WITH " + ",\n".join(parts) + ",\n"
+            "st AS (" + " UNION ALL ".join(st) + ")\n"
+            "SELECT CAST(round AS INT) AS round, nv AS n_vertices, "
+            "ne AS n_edges, round(rho, 6) AS density, "
+            "row_number() OVER (ORDER BY rho DESC, round ASC) = 1 AS is_best "
+            "FROM st")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.labelprop import label_propagation
     g = _graph(spark, sf_dir)
@@ -3473,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": q_msf,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "densest_subgraph": q_densest_subgraph,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3551,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
         "minimum_spanning_forest": _msf_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "densest_subgraph": _densest_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -120,6 +120,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("mis", lambda: noop(maximal_independent_set(edges).members))
     from pagerank_spark.operators.mst import minimum_spanning_forest
     timed("msf", lambda: noop(minimum_spanning_forest(edges).edges))
+    from pagerank_spark.operators.densest import densest_subgraph
+    timed("densest_subgraph",
+          lambda: noop(densest_subgraph(edges, epsilon=0.1).best_vertices))
     from pagerank_spark.operators.betweenness import betweenness
     from pagerank_spark.operators.contraction import contract_graph
     from pagerank_spark.operators.hits import salsa

@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "trustrank", "reciprocity", "covisit", "sample",
                             "bowtie", "closeness", "ktruss", "cocitation",
                             "mcpagerank", "node2vec", "seededlp", "katz",
-                            "redirects", "eigenvector", "sssp", "mis", "mst"],
+                            "redirects", "eigenvector", "sssp", "mis", "mst",
+                            "densest"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -192,6 +193,12 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         res = minimum_spanning_forest(edges, weight_col=args.weight_col,
                                       max_rounds=args.max_iteration)
         out, tail = res.edges, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "densest":
+        from pagerank_spark.operators.densest import densest_subgraph
+        res = densest_subgraph(edges, max_rounds=args.max_iteration)
+        out = res.best_vertices
+        tail = (f"rounds={res.rounds} best_round={res.best_round} "
+                f"best_density={res.best_density:.3f}")
     elif args.algo == "anf":
         from pagerank_spark.operators.neighborhood import (
             distance_stats, neighborhood_function_hll)

@@ -353,3 +353,59 @@ def test_msf_explicit_weights_and_forest_shape(spark):
     # spanning forest: 4-vertex comp -> 3 edges (heavy 2-3 excluded),
     # pair comp -> 1 edge at its min parallel weight
     assert got == [(0, 1, 1.0), (0, 3, 1.0), (1, 2, 1.0), (10, 11, 2.0)]
+
+
+def _densest_python_oracle(edges, eps):
+    """Reference Bahmani peel: per-round (nv, ne, rho) + best round."""
+    import collections
+
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    v = {x for p in e for x in p}
+    stats = []
+    while v:
+        deg = collections.Counter()
+        for a, b in e:
+            deg[a] += 1
+            deg[b] += 1
+        rho = len(e) / len(v)
+        stats.append((len(v), len(e), rho))
+        thr = 2 * (1 + eps) * rho
+        v = {x for x in v if deg[x] > thr}
+        e = {(a, b) for a, b in e if a in v and b in v}
+    best = max(range(len(stats)), key=lambda i: (stats[i][2], -i))
+    return stats, best
+
+
+@pytest.mark.parametrize("n,m,tag,eps", [(100, 400, 51, 0.1),
+                                         (60, 90, 52, 0.5)])
+def test_densest_matches_python_oracle(spark, n, m, tag, eps):
+    from pagerank_spark.operators.densest import densest_subgraph
+    edges = _random_edges(n, m, tag)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = densest_subgraph(df, epsilon=eps)
+    want, best = _densest_python_oracle(edges, eps)
+    got = sorted((r["round"], r.n_vertices, r.n_edges, r.density)
+                 for r in res.stats.collect())
+    assert [(nv, ne) for _, nv, ne, _ in got] == [(nv, ne) for nv, ne, _ in want]
+    for (_, _, _, rho_g), (_, _, rho_w) in zip(got, want):
+        assert rho_g == pytest.approx(rho_w, abs=1e-12)
+    assert res.best_round == best
+
+
+def test_densest_finds_planted_clique(spark):
+    from pagerank_spark.operators.densest import densest_subgraph
+    # sparse random background + K20: the clique is the densest iterate
+    bg = [(a, b) for a, b in _random_edges(400, 300, 53) if a != b]
+    clique = [(i, j) for i in range(500, 520) for j in range(i + 1, 520)]
+    df = spark.createDataFrame(bg + clique, "src long, dst long")
+    res = densest_subgraph(df, epsilon=0.1)
+    assert res.best_density == pytest.approx(19 / 2, abs=1e-9)
+    assert {r.id for r in res.best_vertices.collect()} == set(range(500, 520))
+    assert res.stats.filter("is_best").count() == 1
+
+
+def test_densest_rejects_bad_epsilon(spark):
+    from pagerank_spark.operators.densest import densest_subgraph
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        densest_subgraph(df, epsilon=0.0)
