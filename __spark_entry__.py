@@ -2730,6 +2730,30 @@ WHERE {duckdb_bucket_sql('doc_id')}
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/textops.py lm_perplexity):
+    corpus-trained bigram LM, per-doc perplexity 2^(-mean log2 p)."""
+    from pagerank_spark.operators.textops import lm_perplexity
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH tkt AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+bg AS (SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+       FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+lm AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS c_ctx FROM bg GROUP BY 1),
+sc AS (SELECT doc_id, count(*) AS n_bigrams,
+              avg(-log2(c_bg / CAST(c_ctx AS DOUBLE))) AS h
+       FROM bg JOIN lm USING (prev, cur) JOIN ctx USING (prev)
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(power(2.0, sc.h), 0.0), 6) AS ppl
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -3536,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "densest_subgraph": q_densest_subgraph,
+        "lm_perplexity": q_lm_perplexity,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3615,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "densest_subgraph": _densest_sql(),
+        "lm_perplexity": SQL_LM_PERPLEXITY,
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

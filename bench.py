@@ -211,6 +211,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.textops import pii_scrub, repetition_stats
     timed("pii_scrub", lambda: noop(pii_scrub(docs)))
     timed("docs_repetition", lambda: noop(repetition_stats(docs)))
+    from pagerank_spark.operators.textops import lm_perplexity
+    timed("lm_perplexity", lambda: noop(lm_perplexity(docs)))
     from pagerank_spark.operators.dedup import passage_dedup
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
     from pagerank_spark.operators.textops import corpus_filter

@@ -373,3 +373,50 @@ def corpus_filter(docs: DataFrame, id_col: str = "doc_id",
         "*",
         (F.col("keep_length") & F.col("keep_wordlen")
          & F.col("keep_stopwords") & F.col("keep_repetition")).alias("keep"))
+
+
+def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Explode each document into its token bigrams: ``(id, prev, cur)``.
+    Tokens materialize once per row before the higher-order zip (the
+    duplicate_ngram_fraction discipline)."""
+    tk = F.col("__tk")
+    pairs = F.zip_with(F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                       F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                       lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
+    return (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+            .select(F.col(id_col), F.explode(pairs).alias("bg"))
+            .select(id_col, "bg.prev", "bg.cur"))
+
+
+def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020 use
+    KenLM perplexity as the third filter stage): train a bigram LM on the
+    corpus ITSELF — p(cur|prev) = C(prev,cur) / C(prev,·), no smoothing
+    needed because every scored bigram is in the training counts — and
+    score each document with its perplexity ``2^(-mean log2 p)``. Low =
+    stereotypical corpus text, high = outlier (gibberish or off-domain);
+    filters usually drop both tails.
+
+    Returns ``(id, n_bigrams, ppl)`` (ppl = 0.0 for docs shorter than two
+    tokens). Scale shape: two map-side-combinable count aggregates (the
+    LM), then one join of the doc-bigram table against the LM keyed by
+    (prev, cur) and one by prev — hot bigrams ("of the") are single join
+    keys, which AQE skew-join splits; no windows, no collect.
+    """
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    lm = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    scored = (bg.join(lm, ["prev", "cur"]).join(ctx, ["prev"])
+              .groupBy(id_col).agg(
+                  F.count(F.lit(1)).alias("n_bigrams"),
+                  F.avg(-F.log2(F.col("c_bg") / F.col("c_ctx")))
+                  .alias("h")))
+    return (docs.select(F.col(id_col))
+            .join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.round(F.coalesce(F.pow(F.lit(2.0), F.col("h")),
+                                   F.lit(0.0)), 6).alias("ppl")))

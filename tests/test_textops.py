@@ -250,3 +250,43 @@ def test_corpus_filter_rules_and_conjunction(spark):
     for r in rows.values():
         assert r.keep == (r.keep_length and r.keep_wordlen
                           and r.keep_stopwords and r.keep_repetition)
+
+
+def test_lm_perplexity_hand_case(spark):
+    from pagerank_spark.operators.textops import lm_perplexity
+    # LM over the corpus: C(a,b)=2, C(a,c)=1, C(a,.)=3
+    # -> ppl("a b") = 1/p(b|a) = 3/2, ppl("a c") = 3, short docs -> 0.0
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in lm_perplexity(df).collect()}
+    assert rows[1].ppl == pytest.approx(1.5) and rows[1].n_bigrams == 1
+    assert rows[2].ppl == pytest.approx(1.5)
+    assert rows[3].ppl == pytest.approx(3.0)
+    assert rows[4].ppl == 0.0 and rows[4].n_bigrams == 0
+    assert rows[5].ppl == 0.0
+
+
+def test_lm_perplexity_minority_continuation_scores_higher(spark):
+    from pagerank_spark.operators.textops import lm_perplexity
+    # shared context "the" mostly continues with "cat"; the doc taking the
+    # minority continuation is more surprising under the corpus LM
+    # (an entirely off-vocabulary doc would score ppl 1.0 — its unique
+    # contexts make it perfectly predictable in-corpus, by design)
+    majority = [(i, "the cat") for i in range(9)]
+    minority = [(99, "the dog")]
+    df = spark.createDataFrame(majority + minority,
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.ppl for r in lm_perplexity(df).collect()}
+    assert rows[99] == pytest.approx(10.0)   # p(dog|the) = 1/10
+    assert rows[0] == pytest.approx(10 / 9)  # p(cat|the) = 9/10
+    assert rows[99] > rows[0]
+
+
+def test_lm_perplexity_partition_invariant(spark, docs):
+    from pagerank_spark.operators.textops import lm_perplexity
+    a = {r.doc_id: (r.n_bigrams, r.ppl)
+         for r in lm_perplexity(docs).collect()}
+    b = {r.doc_id: (r.n_bigrams, r.ppl)
+         for r in lm_perplexity(docs.repartition(11)).collect()}
+    assert a == b
