@@ -1955,6 +1955,52 @@ SELECT mi.m AS m_edges, mi.intra AS intra_edges,
 FROM mi, dc2""")
 
 
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (operators/community.py conductance) of
+    the LP_ROUNDS-round label-propagation partition — flags WHICH
+    communities leak, where modularity scores the whole partition."""
+    from pagerank_spark.operators.community import conductance
+    from pagerank_spark.operators.labelprop import label_propagation
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(
+        _edges(spark, sf_dir), universe=g.vertices.select("id"),
+        max_rounds=LP_ROUNDS).labels
+    out = conductance(_edges(spark, sf_dir), labels)
+    return out.select("label", "n_vertices", "volume", "cut",
+                      F.round("conductance", 6).alias("conductance"))
+
+
+def _conductance_oracle_sql(rounds: int) -> str:
+    parts = _labelprop_parts(rounds) + [
+        f"lab AS MATERIALIZED (SELECT id, label FROM l{rounds})",
+        ("tg AS MATERIALIZED (SELECT coalesce(la.label, s.a) AS la, "
+         "coalesce(lb.label, s.b) AS lb FROM s "
+         "LEFT JOIN lab la ON la.id = s.a "
+         "LEFT JOIN lab lb ON lb.id = s.b)"),
+        "m2 AS (SELECT 2 * count(*) AS v FROM tg)",
+        ("cutt AS (SELECT label, count(*) AS cut FROM "
+         "(SELECT la AS label FROM tg WHERE la <> lb "
+         "UNION ALL SELECT lb FROM tg WHERE la <> lb) GROUP BY 1)"),
+        ("vol AS (SELECT label, count(*) AS volume FROM "
+         "(SELECT la AS label FROM tg UNION ALL SELECT lb FROM tg) "
+         "GROUP BY 1)"),
+        ("vt AS (SELECT coalesce(l.label, u2.id) AS label, "
+         "count(*) AS n_vertices FROM "
+         "(SELECT a AS id FROM s UNION SELECT b FROM s) u2 "
+         "LEFT JOIN lab l ON l.id = u2.id GROUP BY 1)"),
+    ]
+    den = "least(coalesce(vol.volume, 0), m2.v - coalesce(vol.volume, 0))"
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT vt.label, vt.n_vertices,
+       CAST(coalesce(vol.volume, 0) AS BIGINT) AS volume,
+       CAST(coalesce(cutt.cut, 0) AS BIGINT) AS cut,
+       round(CASE WHEN {den} <= 0 THEN 0.0
+             ELSE coalesce(cutt.cut, 0) / CAST({den} AS DOUBLE) END, 6)
+       AS conductance
+FROM vt LEFT JOIN vol ON vol.label = vt.label
+LEFT JOIN cutt ON cutt.label = vt.label CROSS JOIN m2""")
+
+
 def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge triangle support (operators/truss.py) — the k-truss
     building block, oracle-checked exactly."""
@@ -3561,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "densest_subgraph": q_densest_subgraph,
         "lm_perplexity": q_lm_perplexity,
+        "community_conductance": q_community_conductance,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3641,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "densest_subgraph": _densest_sql(),
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "community_conductance": _conductance_oracle_sql(LP_ROUNDS),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

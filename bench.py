@@ -167,6 +167,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("closeness_3h",
           lambda: noop(closeness_centrality(edges, max_t=3,
                                             mode="auto").scores))
+    from pagerank_spark.operators.community import conductance as _cond
+    timed("community_conductance", lambda: noop(_cond(
+        edges, label_propagation(edges, max_rounds=3).labels)))
     timed("lpa_modularity", lambda: noop(modularity(
         edges, label_propagation(edges, max_rounds=3).labels)))
     from pagerank_spark.operators.labelprop import seeded_label_propagation

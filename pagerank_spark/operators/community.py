@@ -73,3 +73,65 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.col("m").alias("m_edges"),
         F.coalesce("intra", F.lit(0)).alias("intra_edges"),
         F.when(F.col("m") > 0, q).otherwise(F.lit(0.0)).alias("modularity"))
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance of the partition ``labels (id, label)``
+    over the undirected simple graph of ``edges``:
+
+        φ(c) = cut(c) / min(vol(c), 2m − vol(c))
+
+    with vol(c) = Σ degrees in c and cut(c) = #edges with exactly one
+    endpoint in c (Kannan, Vempala, Vetta, "On clusterings: good, bad and
+    spectral", JACM 2004). The per-community twin of :func:`modularity`:
+    modularity scores the whole partition, conductance flags WHICH
+    communities leak. Returns ``(label, n_vertices, volume, cut,
+    conductance)``; φ = 0.0 for a community spanning the whole volume.
+    Vertices missing from ``labels`` default to singleton communities.
+
+    Numeric discipline: degree/cut/volume sums are exact BIGINTs; the one
+    double division happens in the final projection (same shape as the
+    SQL oracle). Scale: two label equi-joins + three hash aggregates
+    keyed by label — map-side partials collapse each community.
+    """
+    s = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select("id", "label")
+    tagged = (
+        s.join(lab.withColumnRenamed("id", "a")
+               .withColumnRenamed("label", "la"), "a", "left")
+        .join(lab.withColumnRenamed("id", "b")
+              .withColumnRenamed("label", "lb"), "b", "left")
+        .select(F.coalesce("la", F.col("a")).alias("la"),
+                F.coalesce("lb", F.col("b")).alias("lb"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = tagged.count() * 2  # total volume = 2m
+    cut = (
+        tagged.filter(F.col("la") != F.col("lb"))
+        .select(F.explode(F.array("la", "lb")).alias("label"))
+        .groupBy("label").agg(F.count(F.lit(1)).alias("cut")))
+    vol = (
+        tagged.select(F.explode(F.array("la", "lb")).alias("label"))
+        .groupBy("label").agg(F.count(F.lit(1)).alias("volume")))
+    verts = (
+        s.select(F.col("a").alias("id"))
+        .unionByName(s.select(F.col("b").alias("id"))).distinct()
+        .join(lab, "id", "left")
+        .select(F.coalesce("label", F.col("id")).alias("label"))
+        .groupBy("label").agg(F.count(F.lit(1)).alias("n_vertices")))
+    joined = (verts.join(vol, "label", "left").join(cut, "label", "left")
+              .select("label", "n_vertices",
+                      F.coalesce("volume", F.lit(0)).alias("volume"),
+                      F.coalesce("cut", F.lit(0)).alias("cut")))
+    denom = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+    return joined.select(
+        "label", "n_vertices", "volume", "cut",
+        F.when(denom <= 0, F.lit(0.0))
+        .otherwise(F.col("cut") / denom.cast("double"))
+        .alias("conductance"))

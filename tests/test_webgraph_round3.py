@@ -254,3 +254,34 @@ def test_degree_distribution_with_universe(spark):
            for r in degree_distribution(df, universe=spark.range(5)).collect()}
     # out-degs: 0:3, 1:1, rest 0
     assert got == {3: (1, 1), 1: (1, 2), 0: (3, 5)}
+
+
+def test_conductance_two_triangles_bridge(spark):
+    from pagerank_spark.operators.community import conductance
+    # triangles {0,1,2} and {3,4,5} joined by bridge 2-3
+    e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 100) for i in (0, 1, 2)] + [(i, 200) for i in (3, 4, 5)],
+        "id long, label long")
+    rows = {r.label: r for r in conductance(edges, labels).collect()}
+    # each side: vol = 2+2+3 = 7, cut = 1, 2m = 14 -> min(7, 7) = 7
+    for lbl in (100, 200):
+        assert rows[lbl].n_vertices == 3
+        assert rows[lbl].volume == 7 and rows[lbl].cut == 1
+        assert rows[lbl].conductance == pytest.approx(1 / 7)
+
+
+def test_conductance_whole_graph_is_zero_and_singletons(spark):
+    from pagerank_spark.operators.community import conductance
+    e = [(0, 1), (1, 2), (0, 2)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    one = spark.createDataFrame([(i, 7) for i in range(3)],
+                                "id long, label long")
+    rows = conductance(edges, one).collect()
+    assert len(rows) == 1 and rows[0].conductance == 0.0  # spans all volume
+    # missing labels -> singleton communities; each vertex: vol 2, cut 2
+    some = spark.createDataFrame([(0, 7)], "id long, label long")
+    got = {r.label: r for r in conductance(edges, some).collect()}
+    assert got[1].n_vertices == 1 and got[1].cut == 2
+    assert got[1].conductance == pytest.approx(1.0)
