@@ -3548,8 +3548,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 90
-    # queries, 40 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With 91
+    # queries, 41 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) were not
     # scored last round, (b) had their implementation changed this round,
     # or (c) are new this round; entries with current driver-green rows
