@@ -1012,6 +1012,38 @@ SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
+LANDMARK_K = 4            # landmarks = the 4 smallest vertex ids
+LANDMARK_HOPS = 8
+
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landmark BFS distance table (operators/bfs.py landmark_bfs):
+    the sketch-based distance-oracle primitive — landmarks are the
+    {LANDMARK_K} smallest vertex ids (data-derived, no dense-id
+    assumption)."""
+    from pagerank_spark.operators.bfs import landmark_bfs
+    g = _graph(spark, sf_dir)
+    lms = g.vertices.select("id").orderBy("id").limit(LANDMARK_K)
+    res = landmark_bfs(_edges(spark, sf_dir), lms, max_hops=LANDMARK_HOPS)
+    return res.distances.select(
+        "lm", "id", F.col("dist").cast("int").alias("dist"))
+
+
+SQL_LANDMARK_DISTANCES = f"""
+WITH RECURSIVE {_E_SQL},
+walk(lm, id, d) AS (
+    -- landmark set inlined: DuckDB 1.0.0 mis-evaluates a UNION-based CTE
+    -- (u) referenced from a recursive anchor (collapses to one landmark)
+    SELECT id, id, 0 FROM (SELECT src AS id FROM e UNION SELECT dst FROM e
+                           ORDER BY id LIMIT {LANDMARK_K})
+    UNION
+    SELECT walk.lm, e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.id
+    WHERE walk.d < {LANDMARK_HOPS}
+)
+SELECT lm, id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY lm, id
+"""
+
+
 SSSP_SOURCES = 2          # seeds = the 2 smallest vertex ids (data-derived)
 SSSP_ORACLE_ROUNDS = 10   # BF fixpoint at sf0.01 is 6 (measured); extra = no-op
 # synthetic exact edge weights both engines derive identically: integers in
@@ -3548,8 +3580,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 91
-    # queries, 41 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With 92
+    # queries, 42 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) were not
     # scored last round, (b) had their implementation changed this round,
     # or (c) are new this round; entries with current driver-green rows
@@ -3608,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "lm_perplexity": q_lm_perplexity,
         "community_conductance": q_community_conductance,
+        "landmark_distances": q_landmark_distances,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3689,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_sql(),
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "community_conductance": _conductance_oracle_sql(LP_ROUNDS),
+        "landmark_distances": SQL_LANDMARK_DISTANCES,
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -106,6 +106,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: noop(resolve_redirects(redir, max_hops=8, src_col="id",
                                          dst_col="ptr").targets))
     timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
+    from pagerank_spark.operators.bfs import landmark_bfs
+    timed("landmark_bfs_4", lambda: noop(landmark_bfs(
+        edges, [1, 2, 3, 4], max_hops=8).distances))
     from pagerank_spark.operators.sssp import shortest_paths
     swedges = edges.select("src", "dst", F.expr(
         "CAST(1 + (src * 7 + dst * 3) % 5 AS DOUBLE)").alias("w"))

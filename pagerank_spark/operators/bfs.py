@@ -82,3 +82,67 @@ def bfs_hops(
             frontier.unpersist()
         visited, frontier = new_visited, new_frontier
     return BfsResult(distances=visited, rounds=rounds, exhausted=exhausted)
+
+
+@dataclass
+class LandmarkResult:
+    distances: DataFrame   # (lm long, id long, dist int) — reachable only
+    rounds: int
+    exhausted: bool
+
+
+def landmark_bfs(
+    edges: DataFrame,
+    landmarks: Sequence[int] | DataFrame,
+    max_hops: int = 20,
+) -> LandmarkResult:
+    """Per-landmark hop distances — the landmark distance-oracle primitive
+    (Das Sarma et al., "A Sketch-Based Distance Oracle for Web-Scale
+    Graphs", WSDM 2010): after this table exists, d(u, v) is estimated as
+    min over landmarks of d(u, lm) + d(lm, v) with two hash joins, no
+    traversal. Unlike :func:`bfs_hops` (which MERGES its sources into one
+    min-distance field), every landmark keeps its own distance field.
+
+    Scale shape: all landmarks share each superstep (the ppr_batch
+    discipline) — frontier rows carry the landmark key, so a round is ONE
+    edge join expanding every landmark's frontier at once + one (lm, id)
+    anti-join against the visited set; state is O(V·k), the price of any
+    k-landmark oracle.
+    """
+    spark = edges.sparkSession
+    if isinstance(landmarks, DataFrame):
+        lm_df = landmarks.select(F.col(landmarks.columns[0]).alias("lm")) \
+                         .distinct()
+    else:
+        lm_df = spark.createDataFrame([(int(s),) for s in landmarks],
+                                      "lm long")
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    visited = lm_df.select(
+        "lm", F.col("lm").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("lm", "id")
+    rounds, exhausted = 0, False
+    for rounds in range(1, max_hops + 1):
+        candidates = (
+            edges.join(frontier.select("lm", F.col("id").alias("src")),
+                       "src")
+            .select("lm", F.col("dst").alias("id"))
+            .distinct()
+        )
+        obs = Observation(f"lmbfs_round_{rounds}")
+        new_frontier = (
+            candidates.join(visited.select("lm", "id"), ["lm", "id"],
+                            "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if not int(obs.get["n"] or 0):
+            rounds -= 1
+            exhausted = True
+            break
+        visited = visited.unionAll(
+            new_frontier.select("lm", "id", F.lit(rounds).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = new_frontier
+    return LandmarkResult(distances=visited, rounds=rounds,
+                          exhausted=exhausted)

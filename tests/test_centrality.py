@@ -163,3 +163,30 @@ def test_degree_quantiles_exact(spark):
     assert abs(row.out_p90 - np.percentile(out_degs, 90)) < 1e-9
     assert abs(row.in_p50 - np.percentile(in_degs, 50)) < 1e-9
     assert abs(row.in_p99 - np.percentile(in_degs, 99)) < 1e-9
+
+
+def test_landmark_bfs_matches_per_source_bfs(spark):
+    from pagerank_spark.operators.bfs import landmark_bfs
+    edges = spark.createDataFrame(_random_edges(80, 200, 17),
+                                  "src long, dst long")
+    lms = [0, 1, 2]
+    res = landmark_bfs(edges, lms, max_hops=10)
+    got = {(r.lm, r.id): r.dist for r in res.distances.collect()}
+    for lm in lms:
+        solo = {r.id: r.dist
+                for r in bfs_hops(edges, [lm], max_hops=10)
+                .distances.collect()}
+        mine = {i: d for (l, i), d in got.items() if l == lm}
+        assert mine == solo, lm
+
+
+def test_landmark_bfs_distance_estimate_upper_bound(spark):
+    from pagerank_spark.operators.bfs import landmark_bfs
+    # chain 0-1-2-3-4 (directed both ways) with landmark 2 in the middle:
+    # the landmark estimate d(0,lm)+d(lm,4) equals the true distance
+    e = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    res = landmark_bfs(edges, [2], max_hops=10)
+    d = {(r.lm, r.id): r.dist for r in res.distances.collect()}
+    assert d[(2, 0)] + d[(2, 4)] == 4
+    assert res.exhausted
