@@ -3615,7 +3615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         # -- group 2: new in round 4 or implementation touched in round 4
         #    (adjacency index, scc trim reset, ppr seed validation,
-        #    closeness front door, weighted LP/walks)
+        #    closeness front door, weighted LP/walks; late-round-4 adds:
+        #    passage/corpus filters, MIS, MSF, packing, stratified sample,
+        #    densest subgraph, LM perplexity, conductance, landmarks)
         "weighted_labelprop": q_weighted_labelprop,
         "weighted_walks": q_weighted_walks,
         "katz_3iter": q_katz_3iter,
