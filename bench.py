@@ -2,17 +2,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "pagerank": {edges_per_sec_per_iter, iterations, n_edges, n_vertices}}
+Prints ONE compact JSON line (< ~700 bytes — the driver's tail window is
+bounded and clips the line's head past ~2 kB; rounds 3-4 lost the parse
+to per-query dicts on stdout):
+  {"metric": ..., "value": <best suite wall sec>, "unit": "sec",
+   "queries": {summary only}, "sf": ..., "cpus": ...,
+   "pagerank": {edges_per_sec_per_iter, iterations, n_edges, ...},
+   "raw_reps_file": "BENCH/bench_lastrun_raw.json"}
+Per-query bests, raw reps, and the sf-suite pagerank stats all ship in
+raw_reps_file.
 
 The headline number the baseline cares about (BASELINE.json `metric`) is
-PageRank edges/sec per iteration to 1e-6 L1 convergence — reported under
-"pagerank". The bench link graph is derived deterministically from
-lineitem with a 2^20 id space (sparser and more scale-shaped than the
-sf0.01 correctness graph, which needs a small id space for its DuckDB
-recursive oracles).
+PageRank edges/sec per iteration — reported under "pagerank", measured on
+the SCALED graph (default 128x lineitem expansion = 76.8M edges, the same
+construction as tools/scale_worker.py) where operator throughput, not
+session/codegen fixed overhead, dominates. The sf0.1 breadth suite runs
+unchanged and its per-query times go to the raw file. The bench link
+graph uses a 2^20 id space (sparser and more scale-shaped than the sf0.01
+correctness graph, which needs a small id space for its DuckDB recursive
+oracles).
 
 Execution is forced with the `noop` sink: full computation, no driver
 collect, no disk write — isolates engine throughput.
@@ -263,6 +271,58 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     return timings, pr_stats
 
 
+def run_scaled_headline(spark, sf_dir: str, cpus: int,
+                        copies: int, iters: int) -> dict:
+    """Headline PageRank on the deterministically expanded link graph
+    (same construction as tools/scale_worker.py: coprime-stride copies of
+    the lineitem-derived edge table, 76.8M edges at copies=128).
+
+    The sf0.1 suite's 600k-edge PageRank measures session/codegen fixed
+    overhead, not the operator (round-4 verdict item 4); throughput only
+    dominates past ~10^7 edges, so THIS is the reported `pagerank` block.
+    Plan pinned to the at-scale strategy: sort-merge rank join, 64 shuffle
+    partitions — not the small-graph broadcast shortcut.
+    """
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.graph import build_graph
+    from pagerank_spark.operators.pagerank import pagerank
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        edges = li.select(
+            "l_partkey", "l_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k"),
+        ).select(
+            ((F.col("l_partkey") + F.col("k") * 131071) % BENCH_MOD).alias("src"),
+            ((F.col("l_orderkey") + F.col("k") * 524287) % BENCH_MOD).alias("dst"),
+        )
+        g = build_graph(spark, edges)
+        t0 = time.monotonic()
+        res = pagerank(g, alpha=0.85, tol=None, max_iter=iters,
+                       join_strategy="merge")
+        noop(res.ranks)
+        dt = time.monotonic() - t0
+        # steady-state median superstep wall, skipping codegen/AQE warmup
+        walls = sorted(m["wall_ms"] for m in res.metrics[2:]) or [dt * 1000 / iters]
+        med_s = walls[len(walls) // 2] / 1000
+        stats = {
+            "edges_per_sec_per_iter": round(g.n_edges / med_s, 1),
+            "iterations": res.iterations,
+            "sec_total": round(dt, 2),
+            "median_iter_sec": round(med_s, 3),
+            "n_edges": g.n_edges,
+            "n_vertices": g.n_vertices,
+            "input": f"lineitem x{copies} coprime-stride expansion",
+        }
+        g.unpersist()
+        return stats
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def main() -> None:
     from pagerank_spark.session import get_spark
 
@@ -285,41 +345,50 @@ def main() -> None:
         all_timings.append(t)
         all_pr.append(p)
 
+    # headline pagerank on the SCALED graph (default 128x = 76.8M edges):
+    # throughput there is dominated by the operator, not session overhead
+    copies = int(os.environ.get("SPARK_GRAFT_HEADLINE_COPIES", "128"))
+    h_iters = int(os.environ.get("SPARK_GRAFT_HEADLINE_ITERS", "8"))
+    pr_scaled = run_scaled_headline(spark, sf_dir, cpus, copies, h_iters)
+
     best = {k: min(t[k] for t in all_timings) for k in all_timings[0]}
-    # pagerank stats from the rep with the fastest converged run
-    pr_stats = max(all_pr, key=lambda p: p["edges_per_sec_per_iter"])
-    # headline value = the best FULL-SUITE total a single rep actually
+    # sf0.1-suite pagerank stats from the rep with the fastest converged run
+    pr_suite = max(all_pr, key=lambda p: p["edges_per_sec_per_iter"])
+    # suite value = the best FULL-SUITE total a single rep actually
     # achieved (min over reps of the rep's sum) — not the sum of per-query
     # minima, which is a composite no one run produced; that sum ships
-    # separately as sum_of_query_bests
+    # in the raw file as sum_of_query_bests
     suite_walls = [round(sum(t.values()), 3) for t in all_timings]
     total = min(suite_walls)
-    # raw per-rep timings go to a file, NOT stdout: the driver parses the
-    # final stdout line through a bounded tail window, so keep it compact
-    # (headline + per-query bests only)
+    # EVERYTHING bulky goes to the raw file, NOT stdout: the driver parses
+    # the final stdout line through a bounded tail window (~2 kB) that clips
+    # the line's HEAD — rounds 3 and 4 both lost the machine-readable signal
+    # to this, so the stdout line is now headline-only (< ~700 bytes)
     raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH", "bench_lastrun_raw.json")
     try:
         os.makedirs(os.path.dirname(raw_path), exist_ok=True)
         with open(raw_path, "w") as f:
-            json.dump({"reps": all_timings, "pagerank_full": all_pr,
-                       "suite_walls": suite_walls, "sf": sf, "cpus": cpus},
-                      f, indent=1)
+            json.dump({"queries": best,
+                       "sum_of_query_bests": round(sum(best.values()), 3),
+                       "reps": all_timings, "suite_walls": suite_walls,
+                       "pagerank_scaled": pr_scaled,
+                       "pagerank_sf_suite": pr_suite,
+                       "pagerank_sf_reps": all_pr,
+                       "sf": sf, "cpus": cpus}, f, indent=1)
     except OSError:
         pass
     print(json.dumps({
-        "metric": ("pagerank_spark best full-suite wall (headline: pagerank "
-                   "edges/sec/iter to 1e-6; queries = per-query best of "
-                   f"{len(all_timings)} reps)"),
+        "metric": "pagerank edges/sec/iter (scaled graph); value = best "
+                  f"sf{sf} full-suite wall over {len(all_timings)} reps",
         "value": total,
         "unit": "sec",
-        "queries": best,
-        "sum_of_query_bests": round(sum(best.values()), 3),
-        "suite_walls": suite_walls,
+        "queries": {"suite_n_queries": len(best),
+                    "pagerank_converged_sf": best.get("pagerank_converged"),
+                    "full_detail_in": "BENCH/bench_lastrun_raw.json"},
         "sf": sf,
         "cpus": cpus,
-        "pagerank": pr_stats,
-        "pagerank_reps": [p["edges_per_sec_per_iter"] for p in all_pr],
+        "pagerank": pr_scaled,
         "raw_reps_file": "BENCH/bench_lastrun_raw.json",
     }))
 
