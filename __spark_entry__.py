@@ -347,6 +347,11 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = maximal_independent_set(_edges(spark, sf_dir),
                                   universe=g.vertices.select("id"))
     assert res.converged, "MIS did not converge within max_rounds"
+    # guard the oracle unroll depth too (round-4 advice): a fixture/param
+    # drift past the fixed unroll must fail HERE, not as an opaque hash
+    # mismatch downstream
+    assert res.rounds <= MIS_ORACLE_ROUNDS, (
+        f"MIS took {res.rounds} rounds > {MIS_ORACLE_ROUNDS}-round oracle unroll")
     return res.members
 
 
@@ -394,6 +399,8 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.mst import minimum_spanning_forest
     res = minimum_spanning_forest(_edges(spark, sf_dir))
     assert res.converged, "MSF did not converge within max_rounds"
+    assert res.rounds <= MSF_ORACLE_ROUNDS, (
+        f"MSF took {res.rounds} rounds > {MSF_ORACLE_ROUNDS}-round oracle unroll")
     return res.edges
 
 
@@ -467,6 +474,9 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("ci").alias("src"), F.col("cj").alias("dst")))
     edges = _edges(spark, sf_dir).unionByName(clique)
     res = densest_subgraph(edges, epsilon=DENSEST_EPS)
+    assert res.rounds <= DENSEST_ROUNDS, (
+        f"densest peel took {res.rounds} rounds > "
+        f"{DENSEST_ROUNDS}-round oracle unroll")
     return res.stats.select(
         "round", "n_vertices", "n_edges",
         F.round("density", 6).alias("density"), "is_best")

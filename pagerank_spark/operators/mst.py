@@ -125,7 +125,19 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str | None = None,
                 .select("id", F.coalesce("component", "c").alias("c"))
                 .localCheckpoint(eager=True))
     else:
-        converged = False
+        # max_rounds exhausted with the last round still choosing edges.
+        # The forest may nonetheless be complete (it finished in EXACTLY
+        # the last allowed round — round-4 advice): one final crossing-edge
+        # emptiness probe against the contracted labels decides, instead of
+        # declaring non-convergence unconditionally.
+        lab = comp.withColumnRenamed("id", "v")
+        converged = (we
+                     .join(lab.select(F.col("v").alias("a"),
+                                      F.col("c").alias("ca")), "a")
+                     .join(lab.select(F.col("v").alias("b"),
+                                      F.col("c").alias("cb")), "b")
+                     .filter(F.col("ca") != F.col("cb"))
+                     .isEmpty())
 
     spark = edges.sparkSession
     if forest is None:

@@ -180,6 +180,22 @@ def test_landmark_bfs_matches_per_source_bfs(spark):
         assert mine == solo, lm
 
 
+def test_landmark_bfs_duplicate_list_input_deduped(spark):
+    # round-4 advice: a Sequence with repeated landmark ids must behave
+    # exactly like the DataFrame form (no duplicated (lm, id, dist) rows)
+    from pagerank_spark.operators.bfs import bfs_hops, landmark_bfs
+    edges = spark.createDataFrame(_random_edges(40, 100, 23),
+                                  "src long, dst long")
+    dup = landmark_bfs(edges, [1, 2, 1, 2, 2], max_hops=6).distances.collect()
+    uniq = landmark_bfs(edges, [1, 2], max_hops=6).distances.collect()
+    assert sorted((r.lm, r.id, r.dist) for r in dup) \
+        == sorted((r.lm, r.id, r.dist) for r in uniq)
+    bdup = bfs_hops(edges, [1, 1, 2], max_hops=6).distances.collect()
+    buniq = bfs_hops(edges, [1, 2], max_hops=6).distances.collect()
+    assert sorted((r.id, r.dist) for r in bdup) \
+        == sorted((r.id, r.dist) for r in buniq)
+
+
 def test_landmark_bfs_distance_estimate_upper_bound(spark):
     from pagerank_spark.operators.bfs import landmark_bfs
     # chain 0-1-2-3-4 (directed both ways) with landmark 2 in the middle:

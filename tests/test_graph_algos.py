@@ -355,6 +355,25 @@ def test_msf_explicit_weights_and_forest_shape(spark):
     assert got == [(0, 1, 1.0), (0, 3, 1.0), (1, 2, 1.0), (10, 11, 2.0)]
 
 
+def test_msf_converged_when_finishing_in_exactly_max_rounds(spark):
+    from pagerank_spark.operators.mst import minimum_spanning_forest
+    # a 4-cycle with light opposite edges needs exactly 2 Borůvka rounds
+    # (round 1 pairs {0,1} and {2,3}; round 2 bridges them); with
+    # max_rounds=2 the forest completes in the LAST allowed round, which
+    # must still report converged=True via the final crossing-edge probe
+    # (round-4 advice)
+    rows = [(0, 1, 1.0), (2, 3, 1.0), (1, 2, 10.0), (3, 0, 10.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    res = minimum_spanning_forest(df, weight_col="w", max_rounds=2)
+    assert res.rounds == 2
+    assert res.converged
+    got = sorted((r.a, r.b, r.w) for r in res.edges.collect())
+    assert got == [(0, 1, 1.0), (0, 3, 10.0), (2, 3, 1.0)]
+    # and a genuinely unfinished run still reports converged=False
+    res1 = minimum_spanning_forest(df, weight_col="w", max_rounds=1)
+    assert res1.rounds == 1 and not res1.converged
+
+
 def _densest_python_oracle(edges, eps):
     """Reference Bahmani peel: per-round (nv, ne, rho) + best round."""
     import collections
