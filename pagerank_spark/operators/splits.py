@@ -105,9 +105,18 @@ def duckdb_bucket_sql(key_expr: str, salt: str = "") -> str:
     return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT % {BUCKETS})"
 
 
+# auto-sizing target: one packing stream per ~64M tokens keeps every
+# window partition executor-bounded (a stream is O(target) rows of small
+# fixed-width state) while still giving 10^12-doc corpora ~10^7 parallel
+# streams
+TARGET_STREAM_TOKENS = 64 * 1024 * 1024
+
+
 def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
-                   buckets: int = 64, id_col: str = "doc_id",
-                   text_col: str = "text", salt: str = "pack") -> DataFrame:
+                   buckets: int | None = 64, id_col: str = "doc_id",
+                   text_col: str = "text", salt: str = "pack",
+                   target_stream_tokens: int = TARGET_STREAM_TOKENS
+                   ) -> DataFrame:
     """Deterministic concat-and-chunk sequence packing: assign every
     document a position in a fixed-width token stream, the way LLM
     pretraining packs documents into ``budget_tokens``-sized training
@@ -126,18 +135,30 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
     doc in its stream and ``seq_first``/``seq_last`` the first/last
     ``budget_tokens``-chunk it lands in.
 
-    Scale shape: the only wide op is one window partitioned BY BUCKET —
-    at 10^12 docs pick buckets ~ corpus_tokens / (executor-sized stream),
-    so every window partition is bounded and independent; there is no
-    global sort and no driver state. (A greedy first-fit bin packer is
-    inherently sequential per stream; concat-and-chunk is what training
-    pipelines actually do, and it is exactly expressible as a running
-    sum.)
+    Scale shape: the only wide op is one window partitioned BY BUCKET, so
+    every window partition is bounded and independent; there is no global
+    sort and no driver state. With ``buckets=None`` the count is DERIVED
+    as ceil(corpus_tokens / target_stream_tokens) by one map-side count
+    pass (a single driver scalar), so streams stay ~target_stream_tokens
+    at any corpus size — the "pick buckets ~ corpus / stream" guidance as
+    code, not a comment. Pass an explicit ``buckets`` to pin the layout
+    (the layout is a function of the bucket count; reproducing a packing
+    across corpus versions requires pinning it). (A greedy first-fit bin
+    packer is inherently sequential per stream; concat-and-chunk is what
+    training pipelines actually do, and it is exactly expressible as a
+    running sum.)
     """
     from pyspark.sql import Window
 
     from pagerank_spark.operators.textops import token_count
 
+    if buckets is None:
+        if target_stream_tokens <= 0:
+            raise ValueError(
+                f"target_stream_tokens must be positive: {target_stream_tokens}")
+        total = (docs.select(F.sum(token_count(F.col(text_col)))
+                             .alias("t")).first()["t"]) or 0
+        buckets = max(1, -(-int(total) // int(target_stream_tokens)))
     key = F.col(id_col)
     base = docs.select(
         key.alias("id"),

@@ -157,6 +157,25 @@ def test_pack_sequences_straddle(spark):
     assert (straddler.seq_first, straddler.seq_last) == (0, 1)
 
 
+def test_pack_sequences_auto_buckets_proportional_to_corpus(spark):
+    # buckets=None derives ceil(corpus_tokens / target_stream_tokens):
+    # doubling the corpus doubles the bucket count (round-4 verdict item 7)
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(10))) for i in range(n)],
+            "doc_id long, text string")
+    small = _pack(spark, corpus(40), buckets=None, target_stream_tokens=100)
+    big = _pack(spark, corpus(80), buckets=None, target_stream_tokens=100)
+    n_small = small.agg(F.countDistinct("bucket")).first()[0]
+    n_big = big.agg(F.countDistinct("bucket")).first()[0]
+    # 40 docs x 10 tokens / 100 = 4 streams; 80 docs -> 8 streams (every
+    # derived bucket is non-empty at this density)
+    assert n_small == 4 and n_big == 8
+    # an explicit bucket count still pins the layout exactly
+    pinned = _pack(spark, corpus(40), buckets=2)
+    assert pinned.agg(F.countDistinct("bucket")).first()[0] == 2
+
+
 def test_stratified_sample_rates_and_nesting(spark, docs):
     from pagerank_spark.operators.splits import stratified_sample
     lo = stratified_sample(docs, "doc_id", "lang", {"en": 0.3},
