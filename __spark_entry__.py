@@ -2698,6 +2698,66 @@ LEFT JOIN kept ON d.doc_id = kept.doc_id
 """
 
 
+# 18 tokens; "host" + the source value in front make each footer exactly
+# PASSAGE_W=20 tokens, so a planted footer IS passage 0 of its document
+HB_FOOTER_TAIL = ("footer copyright all rights reserved subscribe newsletter "
+                  "contact privacy terms cookie policy sitemap navigation "
+                  "home about help legal")
+HB_MIN_FRAC = 0.25   # planted footers sit on ~1/3 of each host's pages;
+HB_MIN_PAGES = 5     # the corpus' natural max passage repetition is 2/25
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate detection (operators/dedup.py
+    host_boilerplate — the CCNet domain-granularity heuristic): passages
+    on > {HB_MIN_FRAC:.0%} of a host's pages are template, not content.
+    `source` plays the host. The fixture corpus has no real site
+    templates, so the query PLANTS one per host (the densest-subgraph
+    pattern): docs with doc_id % 3 == 0 get a per-source 20-token footer
+    PREPENDED, which lands exactly in passage 0 on ~1/3 of every host's
+    25 pages; natural cross-doc repetition tops out at 2/25 and must NOT
+    be flagged."""
+    from pagerank_spark.operators.dedup import host_boilerplate
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("host "), F.col("source"),
+                        F.lit(" " + HB_FOOTER_TAIL + " "),
+                        F.coalesce("text", F.lit(""))))
+         .otherwise(F.col("text")).alias("text"))
+    return host_boilerplate(planted, host_col="source", w=PASSAGE_W,
+                            min_pages=HB_MIN_PAGES, min_frac=HB_MIN_FRAC)
+
+
+def _host_boilerplate_sql(w: int = PASSAGE_W, min_pages: int = HB_MIN_PAGES,
+                          min_frac: float = HB_MIN_FRAC) -> str:
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'host ' || source || ' {HB_FOOTER_TAIL} '
+                   || coalesce(text, '')
+              ELSE text END AS text
+  FROM documents),
+tk AS (SELECT doc_id, source, {_TOK_SQL} AS t FROM planted),
+p AS (
+  SELECT DISTINCT doc_id, source AS host,
+         array_to_string(t[g.i*{w}+1 : g.i*{w}+{w}], ' ') AS passage
+  FROM tk, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(len(t) / CAST({w} AS DOUBLE)) AS BIGINT))) AS i) g),
+per AS (SELECT host, passage, count(*) AS n_pages_with
+        FROM p GROUP BY 1, 2),
+pages AS (SELECT source AS host, count(DISTINCT doc_id) AS n_pages
+          FROM planted GROUP BY 1)
+SELECT per.host, per.passage, per.n_pages_with, pages.n_pages,
+       round(per.n_pages_with / CAST(pages.n_pages AS DOUBLE), 6) AS frac
+FROM per JOIN pages USING (host)
+WHERE pages.n_pages >= {min_pages}
+  AND per.n_pages_with > {min_frac} * pages.n_pages
+"""
+
+
 CF_MIN_TOKENS = 25     # fixture docs run 10-99 tokens: ~15% drop
 CF_MAX_DUP2 = 0.05     # fixture dup-2gram runs 0-0.13: ~20% drop
 
@@ -3653,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "community_conductance": q_community_conductance,
         "landmark_distances": q_landmark_distances,
+        "host_boilerplate": q_host_boilerplate,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3735,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "community_conductance": _conductance_oracle_sql(LP_ROUNDS),
         "landmark_distances": SQL_LANDMARK_DISTANCES,
+        "host_boilerplate": _host_boilerplate_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -231,6 +231,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
     from pagerank_spark.operators.textops import corpus_filter
     timed("corpus_filter", lambda: noop(corpus_filter(docs, min_tokens=25)))
+    from pagerank_spark.operators.dedup import host_boilerplate
+    timed("host_boilerplate", lambda: noop(host_boilerplate(
+        docs, host_col="source", w=20, min_pages=5, min_frac=0.05)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

@@ -172,3 +172,35 @@ def test_passage_dedup_clean_corpus_keeps_everything(spark):
     # whole-doc passages: duplicates only if full docs are identical
     n_unique = docs.select(F.lower("text")).distinct().count()
     assert dropped == 30 - n_unique
+
+
+def test_host_boilerplate_flags_template_passages(spark):
+    # host "a": 6 pages, 4 share the footer passage "nav bar" (0.67 > 0.5);
+    # "x y" appears on 2/6 pages (0.33 <= 0.5, not flagged);
+    # host "b": only 2 pages (< min_pages) — never flagged even at 100%
+    rows = [(1, "nav bar p q", "a"), (2, "nav bar r s", "a"),
+            (3, "nav bar t u", "a"), (4, "nav bar v w", "a"),
+            (5, "x y m n", "a"), (6, "x y o p", "a"),
+            (7, "nav bar h i", "b"), (8, "nav bar j k", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.host_boilerplate(df, w=2, min_pages=3, min_frac=0.5)
+    got = [(r.host, r.passage, r.n_pages_with, r.n_pages, r.frac)
+           for r in out.collect()]
+    assert got == [("a", "nav bar", 4, 6, round(4 / 6, 6))]
+
+
+def test_host_boilerplate_counts_pages_not_occurrences(spark):
+    # the footer repeats TWICE inside doc 1 — still one page
+    rows = [(1, "nav bar nav bar", "a"), (2, "nav bar q r", "a"),
+            (3, "s t u v", "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.host_boilerplate(df, w=2, min_pages=2, min_frac=0.5)
+    got = [(r.passage, r.n_pages_with) for r in out.collect()]
+    assert got == [("nav bar", 2)]
+
+
+def test_host_boilerplate_rejects_bad_frac(spark):
+    df = spark.createDataFrame([(1, "a b", "h")],
+                               "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        dedup.host_boilerplate(df, min_frac=0.0)
