@@ -2265,6 +2265,71 @@ SELECT sid, id, round(rank * (SELECT n FROM nv), 6) AS rank_n
 FROM r{iters}""")
 
 
+PUSH_SEED = 1       # in-universe seed (BFS_SOURCE family)
+PUSH_EPS = 5e-5     # converges in 6 rounds on the sf0.01 graph
+PUSH_ROUNDS = 8     # oracle unroll; rounds past the fixpoint are no-ops
+
+
+def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-seed approximate PPR by forward push (operators/ppr_push.py,
+    Andersen-Chung-Lang FOCS 2006): settled mass p + residual r per
+    vertex, densified over the universe (the operator's own state is
+    sparse — untouched vertices ARE p = r = 0). Oracle unrolls
+    {PUSH_ROUNDS} synchronous push rounds with the same degree-scaled
+    active rule; extra rounds past the fixpoint are no-ops on an empty
+    active set."""
+    from pagerank_spark.operators.ppr_push import ppr_push
+    g = _graph(spark, sf_dir)
+    res = ppr_push(g, seed=PUSH_SEED, alpha=ALPHA, eps=PUSH_EPS,
+                   max_rounds=PUSH_ROUNDS)
+    assert res.converged, "push did not converge within max_rounds"
+    assert res.rounds <= PUSH_ROUNDS, (
+        f"push took {res.rounds} rounds > {PUSH_ROUNDS}-round oracle unroll")
+    return (g.vertices.select("id")
+            .join(res.scores, "id", "left")
+            .select("id",
+                    F.round(F.coalesce("p", F.lit(0.0)), 8).alias("p_approx"),
+                    F.round(F.coalesce("r", F.lit(0.0)), 8).alias("residual")))
+
+
+def _ppr_push_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
+                  eps: float = PUSH_EPS) -> str:
+    """Dense unroll of the synchronous forward-push fixpoint; expression
+    shapes mirror ppr_push.py (active predicate, (1-α) settle, α forward,
+    dangling re-injection at the seed)."""
+    parts = [
+        _E_SQL, _U_SQL, _OD_SQL,
+        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
+        ("deg AS MATERIALIZED (SELECT u.id, greatest(coalesce(od.c, 0), 1) AS d "
+         "FROM u LEFT JOIN od ON od.id = u.id)"),
+        (f"s0 AS MATERIALIZED (SELECT id, 0.0 AS p, "
+         f"CASE WHEN id = {seed} THEN 1.0 ELSE 0.0 END AS r FROM u)"),
+    ]
+    for k in range(1, rounds + 1):
+        q = k - 1
+        parts += [
+            (f"a{k} AS MATERIALIZED (SELECT s.id, s.r FROM s{q} s "
+             f"JOIN deg d ON d.id = s.id WHERE s.r > {eps!r} * d.d)"),
+            (f"f{k} AS (SELECT we.dst AS id, {ALPHA} * a.r * we.w AS flow "
+             f"FROM we JOIN a{k} a ON a.id = we.src "
+             f"UNION ALL SELECT {seed} AS id, {ALPHA} * a.r AS flow "
+             f"FROM a{k} a JOIN dang dd ON dd.id = a.id)"),
+            (f"g{k} AS MATERIALIZED (SELECT id, sum(flow) AS flow "
+             f"FROM f{k} GROUP BY id)"),
+            (f"s{k} AS MATERIALIZED (SELECT s.id, "
+             f"s.p + CASE WHEN a.id IS NOT NULL THEN {1.0 - ALPHA} * s.r "
+             f"ELSE 0.0 END AS p, "
+             f"CASE WHEN a.id IS NOT NULL THEN 0.0 ELSE s.r END "
+             f"+ coalesce(g.flow, 0.0) AS r "
+             f"FROM s{q} s LEFT JOIN a{k} a ON a.id = s.id "
+             f"LEFT JOIN g{k} g ON g.id = s.id)"),
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(p, 8) AS p_approx, "
+              f"round(r, 8) AS residual FROM s{rounds}")
+
+
 def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming link ingestion (streaming/ingest.py): synth pages land in
     two micro-batches, outlinks extracted per batch with the shared pandas
@@ -3714,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": q_community_conductance,
         "landmark_distances": q_landmark_distances,
         "host_boilerplate": q_host_boilerplate,
+        "ppr_push": q_ppr_push,
         # -- group 3: r03 driver-green, refreshed while slots remain
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
@@ -3797,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
         "community_conductance": _conductance_oracle_sql(LP_ROUNDS),
         "landmark_distances": SQL_LANDMARK_DISTANCES,
         "host_boilerplate": _host_boilerplate_sql(),
+        "ppr_push": _ppr_push_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

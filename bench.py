@@ -201,6 +201,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         g, g.vertices.filter(F.col("id") < 64).select(
             (F.col("id") % 4).alias("sid"), "id", F.lit(1.0).alias("p")),
         iterations=3)))
+    from pagerank_spark.operators.ppr_push import ppr_push
+    timed("ppr_push", lambda: noop(ppr_push(
+        g, seed=1, eps=1e-5, max_rounds=20).scores))
 
     # -- webtext ingestion: pandas-UDF anchor extraction + aggregation
     from pagerank_spark.operators.anchors import anchor_text_index
