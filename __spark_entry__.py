@@ -3715,75 +3715,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 92
-    # queries, 42 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With 94
+    # queries, 44 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) were not
     # scored last round, (b) had their implementation changed this round,
     # or (c) are new this round; entries with current driver-green rows
     # absorb the truncation. Goal: every query holds a driver-green row
-    # no older than one round. The groups below are labelled; rotate them
-    # again next round.
+    # no older than one round. Round-5 rotation: group 1 = the 42 entries
+    # whose last driver row is r03 (they were positions 51-92 in r04);
+    # group 2 = new since the r04 run (host_boilerplate, ppr_push) plus
+    # the three whose implementations changed after the r04 scoring
+    # (landmark append-only visited layers, MSF last-round probe,
+    # pack_sequences bucket auto-sizing); group 3 fills the remaining
+    # slots; group 4 (all r04 hash-green, unchanged) carries the
+    # truncation.
     return {
-        # -- group 1: not scored by the r03 driver run (positions 51-72
-        #    there; all have repo-local MATCH evidence, need driver rows)
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "docs_text_profile": q_docs_text_profile,
-        "docs_exact_duplicates": q_docs_exact_duplicates,
-        "docs_dataset_split": q_docs_dataset_split,
-        "docs_vocab_top_terms": q_docs_vocab_top_terms,
-        "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
-        "random_walks": q_random_walks,
-        "covisit_similarity": q_covisit_similarity,
-        "sample_neighbors": q_sample_neighbors,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_top_orders": q_q3_top_orders,
-        "q5_region_revenue": q_q5_region_revenue,
-        "window_top_orders": q_window_top_orders,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_sessionization": q_events_sessionization,
-        "customers_without_urgent_orders": q_customers_without_urgent_orders,
-        "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
-        "graph_degree_bins": q_graph_degree_bins,
-        "graph_reciprocity": q_graph_reciprocity,
-        "graph_assortativity": q_graph_assortativity,
-        # -- group 2: new in round 4 or implementation touched in round 4
-        #    (adjacency index, scc trim reset, ppr seed validation,
-        #    closeness front door, weighted LP/walks; late-round-4 adds:
-        #    passage/corpus filters, MIS, MSF, packing, stratified sample,
-        #    densest subgraph, LM perplexity, conductance, landmarks)
-        "weighted_labelprop": q_weighted_labelprop,
-        "weighted_walks": q_weighted_walks,
-        "katz_3iter": q_katz_3iter,
-        "resolve_redirects": q_resolve_redirects,
-        "node2vec_walks": q_node2vec_walks,
-        "pagerank_mc": q_pagerank_mc,
-        "scc": q_scc,
-        "ppr_batch": q_ppr_batch,
-        "closeness_centrality": q_closeness_centrality,
-        "dedup_embedding": q_dedup_embedding,
-        "eigenvector_3iter": q_eigenvector_3iter,
-        "distance_stats": q_distance_stats,
-        "sssp_weighted": q_sssp,
-        "pii_scrub": q_pii_scrub,
-        "docs_repetition": q_docs_repetition,
-        "passage_dedup": q_passage_dedup,
-        "corpus_filter": q_corpus_filter,
-        "maximal_independent_set": q_mis,
-        "minimum_spanning_forest": q_msf,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "densest_subgraph": q_densest_subgraph,
-        "lm_perplexity": q_lm_perplexity,
-        "community_conductance": q_community_conductance,
-        "landmark_distances": q_landmark_distances,
-        "host_boilerplate": q_host_boilerplate,
-        "ppr_push": q_ppr_push,
-        # -- group 3: r03 driver-green, refreshed while slots remain
-        "graph_degrees": q_graph_degrees,
-        "graph_edge_weights": q_graph_edge_weights,
-        "graph_dangling": q_graph_dangling,
+        # -- group 1: last driver row is r03 (not scored by the r04 run)
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
         "pagerank_personalized": q_pagerank_personalized,
@@ -3804,8 +3751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "degree_distribution": q_degree_distribution,
-        # -- group 4 (tail, beyond the driver's 50): r03 driver-green rows,
-        #    unchanged this round — they carry the truncation
         "degree_quantiles": q_degree_quantiles,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
@@ -3828,6 +3773,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "multimodal_features": q_multimodal_features,
+        # -- group 2: new since the r04 driver run, or implementation
+        #    touched after it (bfs.py visited layers; mst.py final probe;
+        #    splits.py bucket auto-sizing)
+        "host_boilerplate": q_host_boilerplate,
+        "ppr_push": q_ppr_push,
+        "landmark_distances": q_landmark_distances,
+        "minimum_spanning_forest": q_msf,
+        "pack_sequences": q_pack_sequences,
+        # -- group 3: r04 driver-green, refreshed while slots remain
+        "graph_degrees": q_graph_degrees,
+        "graph_edge_weights": q_graph_edge_weights,
+        "graph_dangling": q_graph_dangling,
+        # -- group 4 (tail, beyond the driver's 50): r04 driver-green rows,
+        #    unchanged this round — they carry the truncation
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "docs_text_profile": q_docs_text_profile,
+        "docs_exact_duplicates": q_docs_exact_duplicates,
+        "docs_dataset_split": q_docs_dataset_split,
+        "docs_vocab_top_terms": q_docs_vocab_top_terms,
+        "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
+        "random_walks": q_random_walks,
+        "covisit_similarity": q_covisit_similarity,
+        "sample_neighbors": q_sample_neighbors,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_region_revenue": q_q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessionization": q_events_sessionization,
+        "customers_without_urgent_orders": q_customers_without_urgent_orders,
+        "distinct_custkeys_per_priority": q_distinct_custkeys_per_priority,
+        "graph_degree_bins": q_graph_degree_bins,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
+        "weighted_labelprop": q_weighted_labelprop,
+        "weighted_walks": q_weighted_walks,
+        "katz_3iter": q_katz_3iter,
+        "resolve_redirects": q_resolve_redirects,
+        "node2vec_walks": q_node2vec_walks,
+        "pagerank_mc": q_pagerank_mc,
+        "scc": q_scc,
+        "ppr_batch": q_ppr_batch,
+        "closeness_centrality": q_closeness_centrality,
+        "dedup_embedding": q_dedup_embedding,
+        "eigenvector_3iter": q_eigenvector_3iter,
+        "distance_stats": q_distance_stats,
+        "sssp_weighted": q_sssp,
+        "pii_scrub": q_pii_scrub,
+        "docs_repetition": q_docs_repetition,
+        "passage_dedup": q_passage_dedup,
+        "corpus_filter": q_corpus_filter,
+        "maximal_independent_set": q_mis,
+        "stratified_sample": q_stratified_sample,
+        "densest_subgraph": q_densest_subgraph,
+        "lm_perplexity": q_lm_perplexity,
+        "community_conductance": q_community_conductance,
     }
 
 
