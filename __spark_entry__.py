@@ -2823,6 +2823,121 @@ WHERE pages.n_pages >= {min_pages}
 """
 
 
+PS_K = 50  # priority_sample driver-query sample size
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield-Lund-Thorup priority sampling (operators/splits.py
+    priority_sample): size-weighted top-{PS_K} document subset with the
+    DLT unbiased subset-sum estimator. Weight = n_chars + 1 (integer,
+    exactly representable as a double), u = 52-bit md5 draw — priority is
+    one IEEE multiply + divide, bit-identical in DuckDB, so the floats
+    are deterministic; the output projects floor(priority)/floor(est)
+    (exact on identical doubles) to keep the hash integer-only."""
+    from pagerank_spark.operators.splits import priority_sample
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("w"))
+    out = priority_sample(docs, "doc_id", "w", k=PS_K)
+    return out.select(
+        F.col("key").alias("doc_id"),
+        F.col("weight").cast("long").alias("weight"),
+        F.floor("priority").cast("long").alias("priority_floor"),
+        F.floor("est_weight").cast("long").alias("est_floor"),
+        "rank")
+
+
+def _priority_sample_sql(k: int = PS_K) -> str:
+    from pagerank_spark.operators.splits import duckdb_priority_sql
+    pri = duckdb_priority_sql("doc_id", "n_chars + 1")
+    return f"""
+WITH q AS (SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS w,
+                  {pri} AS pri FROM documents WHERE n_chars + 1 > 0),
+top AS (SELECT doc_id, w, pri,
+               row_number() OVER (ORDER BY pri DESC, doc_id) AS rank FROM q),
+tau AS (SELECT coalesce((SELECT pri FROM top WHERE rank = {k + 1}), 0.0) AS t)
+SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       CAST(floor(pri) AS BIGINT) AS priority_floor,
+       CAST(floor(greatest(w, (SELECT t FROM tau))) AS BIGINT) AS est_floor,
+       CAST(rank AS INT) AS rank
+FROM top WHERE rank <= {k}
+"""
+
+
+CMS_DEPTH, CMS_WIDTH, CMS_K = 4, 64, 25
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): top-{CMS_K}
+    users by estimated event count, exact count alongside. width={CMS_WIDTH}
+    < 150 distinct users, so buckets genuinely collide and estimates
+    overshoot — the sketch's one-sided error is visible in the checked
+    values, not just asserted in pytest."""
+    from pagerank_spark.operators.sketch import cms_heavy_hitters
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", k=CMS_K,
+                             depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+def _cms_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+             k: int = CMS_K) -> str:
+    bucket = ("('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+              "|| ':cms:' || CAST(d AS VARCHAR)), 1, 15))::BIGINT"
+              f" % {width}")
+    return f"""
+WITH p AS (SELECT user_id, d, {bucket} AS bucket
+           FROM events, range({depth}) t(d)),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM p GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1),
+kb AS (SELECT DISTINCT user_id, d, bucket FROM p),
+est AS (SELECT kb.user_id, min(sk.cnt) AS est_count
+        FROM kb JOIN sk USING (d, bucket) GROUP BY 1)
+SELECT user_id, est_count, exact_count
+FROM est JOIN exact USING (user_id)
+ORDER BY est_count DESC, user_id LIMIT {k}
+"""
+
+
+BLOOM_M, BLOOM_H = 1 << 16, 3
+BLOOM_SEEN, BLOOM_CAND = 1500, 2000
+
+
+def q_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl-frontier dedup (operators/sketch.py): pages
+    0..{BLOOM_SEEN} of the F1 synthetic crawl are the seen history,
+    pages 0..{BLOOM_CAND} today's discoveries; every candidate URL gets
+    maybe_seen from the m={BLOOM_M}-bit / {BLOOM_H}-hash filter. All
+    {BLOOM_SEEN} seen URLs must flag true (no false negatives); the
+    1500*3/65536 ~ 6.6% fill puts the fp rate at ~3e-4, so the named
+    fixture outcome is deterministic either way and hash-checked."""
+    from pagerank_spark.operators.sketch import bloom_bits, bloom_maybe_contains
+    url = F.format_string("https://site%d.example/page%d",
+                          (F.col("id") % 97).cast("int"), F.col("id").cast("int"))
+    seen = spark.range(BLOOM_SEEN).select(url.alias("url"))
+    cand = spark.range(BLOOM_CAND).select(url.alias("url"))
+    bits = bloom_bits(seen, "url", m_bits=BLOOM_M, hashes=BLOOM_H)
+    out = bloom_maybe_contains(cand, bits, "url",
+                               m_bits=BLOOM_M, hashes=BLOOM_H)
+    return out.select("url", F.col("maybe_seen").cast("int").alias("maybe_seen"))
+
+
+def _bloom_sql(m: int = BLOOM_M, h: int = BLOOM_H) -> str:
+    def bit(tbl: str) -> str:
+        return (f"('0x' || substr(md5({tbl}.url || ':bloom:' "
+                f"|| CAST(t.h AS VARCHAR)), 1, 15))::BIGINT % {m}")
+    return f"""
+WITH seen AS (SELECT {_URL_OF_SQL} AS url
+              FROM (SELECT unnest(range({BLOOM_SEEN})) AS id)),
+cand AS (SELECT {_URL_OF_SQL} AS url
+         FROM (SELECT unnest(range({BLOOM_CAND})) AS id)),
+bits AS (SELECT DISTINCT {bit('seen')} AS bit FROM seen, range({h}) t(h)),
+probe AS (SELECT cand.url, {bit('cand')} AS bit FROM cand, range({h}) t(h)),
+miss AS (SELECT DISTINCT url FROM probe
+         WHERE bit NOT IN (SELECT bit FROM bits))
+SELECT url, CAST(url NOT IN (SELECT url FROM miss) AS INT) AS maybe_seen
+FROM cand
+"""
+
+
 CF_MIN_TOKENS = 25     # fixture docs run 10-99 tokens: ~15% drop
 CF_MAX_DUP2 = 0.05     # fixture dup-2gram runs 0-0.13: ~20% drop
 
@@ -3781,12 +3896,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "minimum_spanning_forest": q_msf,
         "pack_sequences": q_pack_sequences,
-        # -- group 3: r04 driver-green, refreshed while slots remain
+        # -- group 3: new round-5 operators (priority sampling, count-min
+        #    heavy hitters, Bloom frontier) — fill the window to exactly 50
+        "priority_sample_topk": q_priority_sample,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_frontier": q_bloom_frontier,
+        # -- group 4 (tail, beyond the driver's 50): r04 driver-green rows,
+        #    unchanged this round — they carry the truncation
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
         "graph_dangling": q_graph_dangling,
-        # -- group 4 (tail, beyond the driver's 50): r04 driver-green rows,
-        #    unchanged this round — they carry the truncation
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3867,6 +3986,9 @@ def oracle_sql() -> dict[str, str]:
         "landmark_distances": SQL_LANDMARK_DISTANCES,
         "host_boilerplate": _host_boilerplate_sql(),
         "ppr_push": _ppr_push_sql(),
+        "priority_sample_topk": _priority_sample_sql(),
+        "cms_heavy_hitters": _cms_sql(),
+        "bloom_frontier": _bloom_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

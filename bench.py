@@ -250,8 +250,23 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.textops import tfidf_top_terms
     timed("docs_dataset_split", lambda: noop(dataset_split(docs, "doc_id")))
     from pagerank_spark.operators.splits import (pack_sequences,
+                                                 priority_sample,
                                                  stratified_sample)
     timed("pack_sequences", lambda: noop(pack_sequences(docs, buckets=8)))
+    timed("priority_sample", lambda: noop(priority_sample(
+        docs.select("doc_id", (F.col("n_chars") + 1).cast("double").alias("w")),
+        "doc_id", "w", k=50)))
+    from pagerank_spark.operators.sketch import (bloom_bits,
+                                                 bloom_maybe_contains,
+                                                 cms_heavy_hitters)
+    events_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("cms_heavy_hitters", lambda: noop(cms_heavy_hitters(
+        events_df, "user_id", k=25, depth=4, width=64)))
+    timed("bloom_frontier", lambda: noop(bloom_maybe_contains(
+        docs.select("doc_id"),
+        bloom_bits(docs.filter(F.col("doc_id") % 4 != 0).select("doc_id"),
+                   "doc_id", m_bits=1 << 16, hashes=3),
+        "doc_id", m_bits=1 << 16, hashes=3)))
     timed("stratified_sample", lambda: noop(stratified_sample(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.25)))
     timed("docs_tfidf_top3", lambda: noop(tfidf_top_terms(docs, k=3)))

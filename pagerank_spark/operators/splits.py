@@ -182,6 +182,73 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
                 / budget_tokens).alias("seq_last"))
 
 
+U52_SCALE = float(1 << 52)  # priority_sample's uniform-draw resolution
+
+
+def priority_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    salt: str = "ps") -> DataFrame:
+    """Deterministic weight-proportional top-``k`` subset with unbiased
+    subset-sum estimates — priority sampling (Duffield, Lund & Thorup,
+    "Priority sampling for estimation of arbitrary subset sums", JACM
+    2007). Every row gets priority q = w / u with u uniform in (0, 1];
+    the k largest priorities are the sample, tau is the (k+1)-st
+    priority, and est_weight = max(w, tau) is the DLT estimator: for any
+    subset S, sum of est_weight over sampled members of S is an unbiased
+    estimate of S's true weight. The corpus-mixing primitive: pick a
+    quality- or size-weighted representative subset whose per-stratum
+    token totals can still be estimated without the full corpus.
+
+    Determinism: u is derived from the FIRST 13 md5 hex digits of
+    (key || ':' || salt) — a 52-bit integer, exactly representable as a
+    double, so q = w * 2^52 / (u52 + 1) is one IEEE multiply and one
+    IEEE divide, bit-identical in Spark and the DuckDB oracle; the sample
+    is a pure function of keys and weights, never of partitioning. Like
+    hash_sample, samples are NESTED in k: growing k only adds rows.
+
+    Returns ``(key, weight, priority, est_weight, rank)`` for the k
+    sampled rows (priority desc, key asc). Rows with weight <= 0 or NULL
+    are excluded (DLT requires positive weights). With n <= k rows the
+    whole input is returned and tau = 0 (est_weight = weight — the
+    estimator is exact when nothing was left out).
+
+    Scale shape: the only wide op is the global top-(k+1) — Spark's
+    TakeOrderedAndProject, a per-partition heap + driver merge of k+1
+    rows per partition, no full sort, no global window. tau is one
+    bounded scalar; rank is a window over the <= k+1 collected rows.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = F.col(weight_col).cast("double")
+    u52 = F.conv(F.substring(F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        1, 13), 16, 10).cast("long")
+    pri = w * F.lit(U52_SCALE) / (u52 + F.lit(1)).cast("double")
+    scored = (df.filter(w > 0)
+              .select(F.col(key_col).alias("key"), w.alias("weight"),
+                      pri.alias("priority")))
+    top = (scored.orderBy(F.desc("priority"), "key").limit(k + 1)
+           .localCheckpoint(eager=True))  # <= k+1 rows
+    kth = (top.orderBy("priority").limit(1).collect()
+           if top.count() == k + 1 else [])
+    tau = kth[0]["priority"] if kth else 0.0
+    order = Window.orderBy(F.desc("priority"), "key")
+    return (top.withColumn("rank", F.row_number().over(order))
+            .filter(F.col("rank") <= k)
+            .select("key", "weight", "priority",
+                    F.greatest(F.col("weight"), F.lit(tau)).alias("est_weight"),
+                    "rank"))
+
+
+def duckdb_priority_sql(key_expr: str, weight_expr: str, salt: str = "ps") -> str:
+    """The DuckDB expression computing exactly priority_sample's priority."""
+    u = (f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), "
+         f"1, 13))::BIGINT + 1)")
+    return (f"(CAST({weight_expr} AS DOUBLE) * {U52_SCALE!r} "
+            f"/ CAST({u} AS DOUBLE))")
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates: dict[str, float], default_rate: float = 0.0,
                       salt: str = "") -> DataFrame:
