@@ -178,6 +178,63 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def exact_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, inter, containment) — asymmetric shingle containment on
+    candidate pairs: containment = |A ∩ B| / min(|A|, |B|), i.e. the
+    fraction of the SMALLER document's shingles present in the other.
+
+    The quote/boilerplate detector Jaccard misses: a short passage fully
+    embedded in a long page has containment ~1 but Jaccard ~|small|/|big|
+    (arbitrarily low), so symmetric near-dup thresholds never fire on it
+    (Broder's resemblance-vs-containment distinction, "On the resemblance
+    and containment of documents", SEQUENCES 1997).
+
+    Same scale shape as ``exact_jaccard``: two shingle equi-joins + one
+    hash aggregate, computed ONLY on candidate pairs (LSH or otherwise) —
+    never all pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .select(
+            "a", "b", F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.coalesce("inter", F.lit(0))
+             / F.least("sz_a", "sz_b").cast("double")).alias("containment"),
+        )
+    )
+
+
+def containment_duplicates(
+    docs: DataFrame, threshold: float = 0.8, ngram: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """All-pairs-on-shared-shingle containment >= threshold: pairs where
+    the smaller document's shingle set is mostly inside the other's.
+
+    Candidate generation here is the shared-shingle join itself (any pair
+    with containment > 0 shares >= 1 shingle), with the same O(df^2)
+    exposure as the exhaustive Jaccard verify — at corpus scale feed
+    ``exact_containment`` LSH candidates (``lsh_candidate_pairs``) or
+    stop-shingle-capped joins instead; this wrapper is the small-scale /
+    oracle-checkable form."""
+    sh = shingles(docs, id_col, text_col, ngram, hash_fn=hash_fn)
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return (exact_containment(sh, inter)
+            .filter(F.col("containment") >= threshold))
+
+
 def near_duplicates_minhash(
     docs: DataFrame, threshold: float = 0.8, k: int = 64,
     bands: int = 16, rows: int = 4, ngram: int = 3,

@@ -273,3 +273,41 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
         thr = F.when(F.col(strata_col) == s,
                      F.lit(int(round(r * BUCKETS)))).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
+                    tau: float = 0.7, salt: str = "") -> DataFrame:
+    """Temperature-scaled corpus mixing: sample each stratum so the output
+    mixture follows p_s ∝ n_s^tau (the multilingual-training rebalancing
+    rule — tau < 1 flattens dominant strata toward the rare ones; tau = 1
+    is the natural distribution; tau = 0 is uniform-by-stratum). Used to
+    keep a 90%-English crawl from drowning every other language.
+
+    Down-sampling only (rates <= 1, no row duplication): the keep rate for
+    stratum s is r_s = (n_s / n_min)^(tau-1), which is exactly 1 for the
+    rarest stratum and the unique scaling that realizes the n^tau mixture
+    without upsampling. Rates are quantized to the shared BUCKETS grid, so
+    row membership is the same deterministic, NESTED-in-tau hash filter as
+    ``stratified_sample``.
+
+    Scale shape: one map-side-combinable groupBy over the stratum column
+    (output rows = #strata), a 1-row global min, then a broadcast join of
+    the threshold table back onto the corpus — the big table is touched by
+    exactly one scan + one narrow filter; no window, no per-stratum pass.
+    Thresholds are computed IN-PLAN (F.pow, no collect), so the operator
+    composes lazily under further transformations.
+
+    Returns the sampled rows with an added ``mix_threshold`` column (the
+    stratum's integer bucket threshold — rate = mix_threshold / BUCKETS)."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1] (down-sampling only): {tau}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    thr = (counts.crossJoin(F.broadcast(n_min))
+           .select(strata_col,
+                   F.round(F.pow(F.col("n_s") / F.col("n_min"),
+                                 F.lit(tau - 1.0)) * BUCKETS)
+                   .cast("int").alias("mix_threshold")))
+    bucket = split_bucket(F.col(key_col), salt)
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(bucket < F.col("mix_threshold")))

@@ -13,7 +13,7 @@ def spark():
     from pagerank_spark.session import get_spark
 
     s = get_spark(
-        "pagerank_spark_tests", cpus=4, shuffle_partitions=4,
+        "pagerank_spark_tests", cpus=4, shuffle_partitions=1,
         extra_conf={
             "spark.sql.warehouse.dir": "/tmp/pagerank-spark-warehouse",
             # test-session-only: AQE re-planning costs ~40% of the fixed
@@ -21,6 +21,20 @@ def spark():
             # 260 ms/superstep) and decides nothing at this scale; the
             # shipped session (session.py) keeps AQE on for real inputs
             "spark.sql.adaptive.enabled": "false",
+            # test-session-only latency knobs (measured on the same
+            # representative subset): codegen compilation dominates 6-2000
+            # vertex jobs (348s -> 247s subset wall with it off), and
+            # compressing 1-4 KiB shuffle blocks is pure overhead; the
+            # shipped session keeps both defaults for real inputs
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.rdd.compress": "false",
+            # iterative self-join plans (betweenness/bowtie/pagerank loops)
+            # grow superlinear constraint sets in the optimizer; propagation
+            # decides nothing on toy fixtures
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.locality.wait": "0",
         })
     yield s
     s.stop()

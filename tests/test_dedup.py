@@ -204,3 +204,63 @@ def test_host_boilerplate_rejects_bad_frac(spark):
                                "doc_id long, text string, source string")
     with pytest.raises(ValueError):
         dedup.host_boilerplate(df, min_frac=0.0)
+
+
+# -- containment (Broder resemblance-vs-containment) -------------------------
+
+
+def _containment_fixture(spark):
+    """doc 2 = doc 1's text embedded in a much longer page: containment of
+    the pair is ~1 while Jaccard is low; doc 3 is unrelated."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} pad{i}" for i in range(40))
+    rows = [(1, a), (2, filler + " " + a + " " + filler.upper().lower()),
+            (3, "completely different content about nothing shared here at all")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_detects_embedded_quote(spark):
+    docs = _containment_fixture(spark)
+    sh = dedup.shingles(docs)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r.a, r.b): (r.inter, r.containment)
+           for r in dedup.exact_containment(sh, pairs).collect()}
+    # every shingle of doc 1 appears in doc 2
+    sz1 = sh.filter("doc_id = 1").count()
+    assert out[(1, 2)] == (sz1, 1.0)
+    assert out[(1, 3)][1] == 0.0  # left-join keeps zero-overlap pairs
+    # symmetric Jaccard on the same pair is far below any near-dup threshold
+    jac = {(r.a, r.b): r.jaccard
+           for r in dedup.exact_jaccard(sh, pairs).collect()}
+    assert jac[(1, 2)] < 0.3
+
+
+def test_containment_duplicates_end_to_end(spark):
+    docs = _containment_fixture(spark)
+    out = {(r.a, r.b): r.containment
+           for r in dedup.containment_duplicates(docs, threshold=0.8).collect()}
+    assert set(out) == {(1, 2)} and out[(1, 2)] == 1.0
+
+
+def test_containment_matches_python_oracle(spark):
+    docs = _docs_with_dups(spark).filter("doc_id < 30 OR doc_id >= 10000")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def grams(t):
+        w = t.lower().split()
+        idx = range(max(len(w) - 3, 0) + 1)
+        return {" ".join(w[i:i + 3]) for i in idx if w[i:i + 3]}
+
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue
+            c = len(ga & gb) / min(len(ga), len(gb))
+            if c >= 0.5:
+                want[(a, b)] = round(c, 6)
+    got = {(r.a, r.b): round(r.containment, 6)
+           for r in dedup.containment_duplicates(docs, threshold=0.5).collect()}
+    assert got == want

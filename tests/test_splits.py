@@ -213,3 +213,62 @@ def test_stratified_sample_rejects_bad_rates(spark, docs):
         stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
     with pytest.raises(ValueError):
         stratified_sample(docs, "doc_id", "lang", {}, default_rate=-0.1)
+
+
+# -- temperature mixing -------------------------------------------------------
+
+
+def test_temperature_mix_tau1_is_identity(spark, docs):
+    from pagerank_spark.operators.splits import temperature_mix
+    out = temperature_mix(docs, "doc_id", "lang", tau=1.0)
+    assert out.count() == docs.count()
+    assert out.select(F.min("mix_threshold")).first()[0] == BUCKETS
+
+
+def test_temperature_mix_matches_python_oracle(spark, docs):
+    from pagerank_spark.operators.splits import temperature_mix
+    tau = 0.5
+    rows = docs.select("doc_id", "lang").collect()
+    n_s = {}
+    for r in rows:
+        n_s[r.lang] = n_s.get(r.lang, 0) + 1
+    n_min = min(n_s.values())
+    thr = {s: int(round((c / n_min) ** (tau - 1.0) * BUCKETS))
+           for s, c in n_s.items()}
+    want = {r.doc_id for r in rows if _py_bucket(r.doc_id) < thr[r.lang]}
+    got = {r.doc_id for r in
+           temperature_mix(docs, "doc_id", "lang", tau=tau).collect()}
+    assert got == want
+    # rarest stratum fully kept
+    rare = min(n_s, key=lambda s: n_s[s])
+    assert thr[rare] == BUCKETS
+
+
+def test_temperature_mix_nested_in_tau(spark, docs):
+    from pagerank_spark.operators.splits import temperature_mix
+    lo = {r.doc_id for r in
+          temperature_mix(docs, "doc_id", "lang", tau=0.3).collect()}
+    hi = {r.doc_id for r in
+          temperature_mix(docs, "doc_id", "lang", tau=0.8).collect()}
+    assert lo <= hi
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, docs):
+    from pagerank_spark.operators.splits import temperature_mix
+    before = {r.lang: r.n for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in
+             temperature_mix(docs, "doc_id", "lang", tau=0.0)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # tau=0 targets equal-sized strata (up to hash-binomial noise)
+    n_min = min(before.values())
+    for lang, n in after.items():
+        assert abs(n - n_min) <= 4 * (n_min ** 0.5) + 1, (lang, n, n_min)
+
+
+def test_temperature_mix_rejects_upsampling_tau(spark, docs):
+    from pagerank_spark.operators.splits import temperature_mix
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "doc_id", "lang", tau=1.2)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "doc_id", "lang", tau=-0.1)
