@@ -269,6 +269,38 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "doc_id", m_bits=1 << 16, hashes=3)))
     timed("stratified_sample", lambda: noop(stratified_sample(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.25)))
+    from pagerank_spark.operators.splits import temperature_mix
+    timed("temperature_mix", lambda: noop(temperature_mix(
+        docs, "doc_id", "lang", tau=0.7)))
+    # containment in its production shape: LSH candidates, not the
+    # exhaustive shared-shingle join the sf0.01 oracle uses
+    from pagerank_spark.operators.dedup import (exact_containment,
+                                                lsh_candidate_pairs,
+                                                minhash_signatures, shingles)
+
+    def _containment():
+        sh = shingles(docs)
+        cands = lsh_candidate_pairs(minhash_signatures(sh, k=64))
+        noop(exact_containment(sh, cands))
+    timed("dedup_containment", _containment)
+    from pagerank_spark.operators.frontier import (frontier_schedule,
+                                                   url_patterns)
+    i = F.col("id")
+    bench_frontier = spark.range(500_000).select(
+        F.concat(F.lit("u"), F.lpad(i.cast("string"), 7, "0")).alias("url"),
+        F.concat(F.lit("h"), (i % 997).cast("string")).alias("host"),
+        ((i * F.lit(2654435761)) % F.lit(1_000_000)).alias("priority"))
+    timed("frontier_schedule_500k", lambda: noop(frontier_schedule(
+        bench_frontier, per_slot=2, max_per_host=400)))
+    bench_urls = spark.range(500_000).select(F.concat(
+        F.lit("http://site"), (i % 997).cast("string"), F.lit(".example.com"),
+        F.when(i % 3 == 0, F.concat(F.lit("/blog/"), (i % 17).cast("string"),
+                                    F.lit("/post-"), i.cast("string")))
+         .when(i % 3 == 1, F.concat(F.lit("/p/"), i.cast("string")))
+         .otherwise(F.concat(F.lit("/s/"),
+                             F.substring(F.md5(i.cast("string")), 1, 12)))
+    ).alias("url"))
+    timed("url_patterns_500k", lambda: noop(url_patterns(bench_urls)))
     timed("docs_tfidf_top3", lambda: noop(tfidf_top_terms(docs, k=3)))
     from pagerank_spark.operators.decontam import decontaminate_split
     timed("decontaminate",

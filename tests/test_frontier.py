@@ -97,3 +97,22 @@ def test_url_patterns_counts_urls_and_hosts(spark):
            for r in url_patterns(df, min_urls=2).collect()}
     # mixed-case a.com/A.com is ONE host after normalization
     assert out == {"/item/N": (4, 2)}  # min_urls=2 drops the singleton
+
+
+def test_schedule_cap_is_partial_window_group_limit(spark):
+    """The max_per_host cap must push a Partial WindowGroupLimit BELOW the
+    exchange (Spark 4 InferWindowGroupLimit) — the property that bounds
+    what a 100M-URL spam host ships into the shuffle."""
+    fr = spark.range(10_000).select(
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string")).alias("host"),
+        ((F.col("id") * 131) % 997).alias("priority"))
+    plan = (frontier_schedule(fr, per_slot=2, max_per_host=50)
+            ._jdf.queryExecution().executedPlan().toString())
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial and exchange
+    # the Partial limit sits BELOW (deeper than) the exchange in the tree
+    assert min(exchange) < max(partial)

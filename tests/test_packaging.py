@@ -47,6 +47,14 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     env["SPARK_DRIVER_MEM"] = "2g"
     proc = subprocess.run(
         [spark_submit, "--master", "local[2]", "--py-files", str(zpath),
+         # same test-only latency knobs as conftest.py (the fresh JVM does
+         # not see the session fixture's config): codegen compilation and
+         # AQE re-planning dominate ~30 supersteps on a 6-vertex graph
+         "--conf", "spark.sql.codegen.wholeStage=false",
+         "--conf", "spark.sql.adaptive.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=2",
+         "--conf", "spark.shuffle.compress=false",
+         "--conf", "spark.shuffle.spill.compress=false",
          str(runner), str(g6), str(out), "300",
          # 1e-6 converges ~120 supersteps earlier than 1e-10 and is three
          # orders below the 1e-3 golden assert; depth is covered in-session
