@@ -125,9 +125,11 @@ def _py_bowtie(edges, n):
 
 def test_bowtie_matches_python_oracle_random(spark):
     import numpy as np
-    # denser graphs: few condensation layers, so the SCC peel
-    # (documented O(chain) worst case) stays to a few rounds
-    for seed, n, m in [(1, 25, 75), (2, 30, 90)]:
+    # denser graph: few condensation layers, so the SCC peel
+    # (documented O(chain) worst case) stays to a few rounds; one random
+    # instance — the canonical/cycle/deterministic tests cover the other
+    # shapes, and a second seed re-runs the same ~5 fixpoints for ~17s
+    for seed, n, m in [(2, 30, 90)]:
         rng = np.random.default_rng(seed)
         edges = list({(int(a), int(b)) for a, b in
                       zip(rng.integers(0, n, m), rng.integers(0, n, m))})

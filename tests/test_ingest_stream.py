@@ -116,17 +116,19 @@ def test_incremental_crawl_warm_start_e2e(spark, tmp_path):
 
     crawl1.coalesce(1).write.mode("append").parquet(str(land))
     drain()
-    # 1e-5 keeps all three convergences ~15 supersteps shorter each than
-    # 1e-6 with the same warm<=cold semantics; the comparison threshold
-    # scales with the residual bound (1e-4 measured 34x too loose here)
-    r1 = pagerank(graph(), tol=1e-5, max_iter=150)
+    # warm<=cold and the fixed-point identity hold at any damping; alpha
+    # 0.6 / tol 1e-5 caps each of the three convergences at ~23 supersteps
+    # (vs ~70 at the default 0.85) and TIGHTENS the stop-residual bound
+    # alpha/(1-alpha)*tol from 5.7e-5 to 1.5e-5, well inside the 1e-3/n
+    # comparison threshold below
+    r1 = pagerank(graph(), alpha=0.6, tol=1e-5, max_iter=150)
     assert r1.converged
 
     delta.coalesce(1).write.mode("append").parquet(str(land))
     drain()  # same checkpoint dir: only the new file is processed
     g2 = graph()
-    cold = pagerank(g2, tol=1e-5, max_iter=150)
-    warm = pagerank(g2, tol=1e-5, max_iter=150, init_ranks=r1.ranks)
+    cold = pagerank(g2, alpha=0.6, tol=1e-5, max_iter=150)
+    warm = pagerank(g2, alpha=0.6, tol=1e-5, max_iter=150, init_ranks=r1.ranks)
     assert cold.converged and warm.converged
     assert warm.iterations <= cold.iterations
     c = {r.id: r.rank for r in cold.ranks.collect()}

@@ -29,11 +29,10 @@ def _vec(res, n):
 def test_out_degree_init_same_fixed_point(spark, g6):
     """P5 (kernel_bblock.cu:56-68) only changes the starting point; the
     damped chain has a unique fixed point."""
-    # G6's sub-dominant eigenvalue converges far faster than the α
-    # worst-case, so convergence mode beats any fixed α-bound budget;
-    # 1e-8 each side bounds the pair difference well inside atol
-    a = pagerank(g6, tol=3e-7, max_iter=150)
-    b = pagerank(g6, tol=3e-7, max_iter=150, init="out_degree")
+    # starting-point independence holds at ANY damping; alpha=0.5 bounds
+    # convergence at ~22 supersteps a side vs 60+ at the default 0.85
+    a = pagerank(g6, alpha=0.5, tol=3e-7, max_iter=150)
+    b = pagerank(g6, alpha=0.5, tol=3e-7, max_iter=150, init="out_degree")
     np.testing.assert_allclose(_vec(a, 6), _vec(b, 6), atol=1e-5)
 
 
@@ -65,17 +64,21 @@ def test_no_redistribution_equals_default_without_dangling(spark):
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 0)], schema="src long, dst long")
     g = build_graph(spark, edges, n_vertices=3)
-    a = pagerank(g, tol=1e-8, max_iter=200)
-    b = pagerank(g, tol=1e-8, max_iter=200, dangling_redistribution=False)
+    # the no-op holds superstep-for-superstep — a fixed 10-iteration pair
+    # compares the identical trajectories without ~100 convergence rounds
+    a = pagerank(g, tol=None, max_iter=10)
+    b = pagerank(g, tol=None, max_iter=10, dangling_redistribution=False)
     np.testing.assert_allclose(_vec(a, 3), _vec(b, 3), atol=1e-12)
 
 
 def test_l2_norm_stop(spark, g6):
     """A5 (lightSpMV PageRank.h:56-66): L2 stop converges to the same
     ranks; metrics carry both norms and l2 <= l1 always."""
-    res = pagerank(g6, tol=3e-7, max_iter=300, norm="l2")
+    # the L2-vs-L1 stop semantics are alpha-independent; 0.5 halves the
+    # superstep count of each convergence
+    res = pagerank(g6, alpha=0.5, tol=3e-7, max_iter=300, norm="l2")
     assert res.converged
-    ref = pagerank(g6, tol=3e-7, max_iter=300)
+    ref = pagerank(g6, alpha=0.5, tol=3e-7, max_iter=300)
     np.testing.assert_allclose(_vec(res, 6), _vec(ref, 6), atol=1e-5)
     for m in res.metrics:
         assert m["l2_diff"] <= m["l1_diff"] + 1e-15
@@ -155,7 +158,9 @@ def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
                     (mix2(ids, 72) % np.uint64(n)).astype(np.int64).tolist()))
     g1 = build_graph(spark, spark.createDataFrame(base, "src long, dst long"),
                      n_vertices=n)
-    r1 = pagerank(g1, alpha=0.85, tol=1e-5, max_iter=200)
+    # warm<=cold and fixed-point identity hold at any damping; alpha=0.6
+    # cuts each of the three convergences from ~70 to ~25 supersteps
+    r1 = pagerank(g1, alpha=0.6, tol=1e-5, max_iter=200)
     assert r1.converged
 
     # perturb: three extra edges out of 1600 — a small crawl delta
@@ -163,8 +168,8 @@ def test_warm_start_converges_faster_and_to_same_fixed_point(spark):
     g2 = build_graph(spark,
                      spark.createDataFrame(base + delta, "src long, dst long"),
                      n_vertices=n)
-    cold = pagerank(g2, alpha=0.85, tol=1e-6, max_iter=200)
-    warm = pagerank(g2, alpha=0.85, tol=1e-6, max_iter=200,
+    cold = pagerank(g2, alpha=0.6, tol=1e-6, max_iter=200)
+    warm = pagerank(g2, alpha=0.6, tol=1e-6, max_iter=200,
                     init_ranks=r1.ranks.select("id", "rank"))
     assert cold.converged and warm.converged
     assert warm.iterations < cold.iterations

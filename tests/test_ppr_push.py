@@ -27,7 +27,7 @@ def test_push_tracks_exact_ppr(spark):
     assert res.converged
     tp = g.vertices.filter(F.col("id") == seed).select(
         "id", F.lit(1.0).alias("p"))
-    exact = pagerank(g, alpha=0.5, tol=1e-13, max_iter=200,
+    exact = pagerank(g, alpha=0.5, tol=1e-11, max_iter=200,
                      teleport=tp).ranks
     joined = exact.join(res.scores.select("id", "p"), "id", "left").select(
         F.max(F.abs(F.col("rank") - F.coalesce("p", F.lit(0.0)))).alias("mx"),
@@ -44,7 +44,10 @@ def test_push_mass_conservation_and_sparsity(spark):
     edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 10)]
     g = build_graph(spark, spark.createDataFrame(
         edges, "src long, dst long"))
-    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-9, max_rounds=60)
+    # p + r sums to 1 EXACTLY at every round (the invariant under
+    # test) — eps only sets how soon the loop stops, so 1e-7 buys the
+    # same assert ~7 rounds cheaper than 1e-9
+    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-7, max_rounds=60)
     assert res.converged
     rows = res.scores.collect()
     assert {r.id for r in rows} <= {0, 1, 2, 3}
@@ -57,16 +60,17 @@ def test_push_dangling_mass_reinjected_at_seed(spark):
     # the fixed point matches the exact teleport run on the same graph
     g = build_graph(spark, spark.createDataFrame(
         [(0, 1)], "src long, dst long"))
-    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-10, max_rounds=60)
+    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-8, max_rounds=60)
     assert res.converged
     got = {r.id: r.p for r in res.scores.collect()}
     tp = g.vertices.filter(F.col("id") == 0).select(
         "id", F.lit(1.0).alias("p"))
     exact = {r.id: r.rank
-             for r in pagerank(g, alpha=0.5, tol=1e-14, max_iter=200,
+             for r in pagerank(g, alpha=0.5, tol=1e-12, max_iter=200,
                                teleport=tp).ranks.collect()}
-    assert abs(got[0] - exact[0]) < 1e-8
-    assert abs(got[1] - exact[1]) < 1e-8
+    # residual bound: |p - pr| <= eps * sum(max(deg,1)) = 2e-8 a side
+    assert abs(got[0] - exact[0]) < 1e-7
+    assert abs(got[1] - exact[1]) < 1e-7
     g.unpersist()
 
 

@@ -141,15 +141,15 @@ def test_read_matrix_market_explicit_weights_feed_p9(spark, tmp_path):
     assert abs(w[(0, 1)] - 0.75) < 1e-15 and abs(w[(0, 2)] - 0.25) < 1e-15
     assert w[(1, 2)] == 1.0 and w[(2, 0)] == 1.0
 
-    # fixed-budget trajectory comparison against the same 40-step NumPy
+    # fixed-budget trajectory comparison against the same 12-step NumPy
     # loop — identical modulo fp noise, no deep convergence needed
-    res = pagerank(g, alpha=0.85, tol=None, max_iter=40)
+    res = pagerank(g, alpha=0.85, tol=None, max_iter=12)
     got = np.zeros(3)
     for r in res.ranks.collect():
         got[r.id] = r.rank
     P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
     r = np.full(3, 1 / 3)
-    for _ in range(40):
+    for _ in range(12):
         r = 0.85 * (P.T @ r) + 0.15 / 3
     np.testing.assert_allclose(got, r, atol=1e-9)
 
@@ -177,16 +177,16 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
         "2 3 2.0\n"
         "3 1 5.0\n")
     out = tmp_path / "cli_w"
-    # fixed 40-superstep budget (tol<=0 -> reference fixed-budget loop)
-    # compared against the same 40-step NumPy trajectory
-    rc = main([str(mtx), str(out), "40", "--format", "mm", "--mm-values",
+    # fixed 12-superstep budget (tol<=0 -> reference fixed-budget loop)
+    # compared against the same 12-step NumPy trajectory
+    rc = main([str(mtx), str(out), "12", "--format", "mm", "--mm-values",
                "--tol", "0"])
     assert rc == 0
     part = next(out.glob("part-*"))
     vals = np.array([float(x) for x in part.read_text().strip().splitlines()])
     P = np.array([[0, .75, .25], [0, 0, 1], [1, 0, 0]])
     r = np.full(3, 1 / 3)
-    for _ in range(40):
+    for _ in range(12):
         r = 0.85 * (P.T @ r) + 0.15 / 3
     np.testing.assert_allclose(vals / 3.0, r, atol=1e-6)
 

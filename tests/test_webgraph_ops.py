@@ -111,8 +111,10 @@ def test_trustrank_equals_personalized_pagerank(spark, tiny_graph):
 
 def test_spam_mass_separates_farm(spark, tiny_graph):
     seeds = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    # the separation asserts have >= 0.4 slack; tol=1e-3 converges both
+    # inner power iterations in half the supersteps of 1e-6
     sm = {r.id: r.spam_mass
-          for r in spam_mass(tiny_graph, seeds, tol=1e-6, max_iter=60).collect()}
+          for r in spam_mass(tiny_graph, seeds, tol=1e-3, max_iter=60).collect()}
     # the farm community gets (almost) no trust -> spam mass near 1
     for v in (4, 5, 6):
         assert sm[v] > 0.9, (v, sm[v])
