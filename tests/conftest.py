@@ -15,7 +15,10 @@ def spark():
     s = get_spark(
         "pagerank_spark_tests", cpus=4, shuffle_partitions=1,
         extra_conf={
-            "spark.sql.warehouse.dir": "/tmp/pagerank-spark-warehouse",
+            # tools/partest.py shards files across concurrent sessions and
+            # gives each its own warehouse dir via this env var
+            "spark.sql.warehouse.dir": os.environ.get(
+                "SPARK_GRAFT_TEST_TMP", "/tmp/pagerank-spark-warehouse"),
             # test-session-only: AQE re-planning costs ~40% of the fixed
             # per-job latency on 6-2000-vertex fixtures (measured 437 ->
             # 260 ms/superstep) and decides nothing at this scale; the

@@ -68,7 +68,9 @@ def test_hll_tracks_exact_within_error(spark):
 
 
 def test_hll_deterministic(spark):
-    edges = _random_edges(80, 240, 74)
+    # dense (avg degree 6): diameter ~4, so each of the two runs is a
+    # handful of serial hops instead of ~8
+    edges = _random_edges(80, 480, 74)
     df = spark.createDataFrame(edges, "src long, dst long")
     a = neighborhood_function_hll(df, max_t=32, b=5)
     c = neighborhood_function_hll(df, max_t=32, b=5)
@@ -79,7 +81,7 @@ def test_hll_saturation_is_exact_fixpoint(spark):
     """On a single strongly connected cycle every sketch saturates to the
     full-graph sketch; convergence must come from the register-sum
     fixpoint, not the plateau tolerance."""
-    n = 12
+    n = 8   # rounds scale with the cycle length; 8 pins the property
     df = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
                                "src long, dst long")
     res = neighborhood_function_hll(df, max_t=64, b=6, rel_tol=0.0)
@@ -144,10 +146,9 @@ def test_harmonic_hll_tracks_exact(spark):
     got = {r.id: r.hc for r in ap.scores.collect()}
     tot_ap = sum(got.values())
     assert abs(tot_ap - tot_ex) / tot_ex < 0.3, (tot_ap, tot_ex)
-    again = {r.id: r.hc
-             for r in harmonic_centrality_hll(
-                 df, max_t=32, b=6, universe=spark.range(n)).scores.collect()}
-    assert got == again
+    # sketch determinism across runs is pinned by test_hll_deterministic
+    # and the closeness re-run below — both drive the same HyperANF core;
+    # a third identical re-run here bought nothing for ~6s
 
 
 def test_harmonic_bad_direction(spark):
@@ -189,13 +190,15 @@ def test_closeness_front_door_dispatch(spark):
     door the bench measures — the dispatched plan is the measured plan."""
     from pagerank_spark.operators.neighborhood import closeness_centrality
 
-    n, m = 60, 240
+    # dispatch is decided by the probe, not the run depth — the smallest
+    # fixture whose projected pair state sits between the two budgets
+    n, m = 30, 90
     df = spark.createDataFrame(_random_edges(n, m, 21), "src long, dst long")
     uni = spark.range(n)
-    ex = closeness_centrality(df, max_t=6, universe=uni, mode="auto",
+    ex = closeness_centrality(df, max_t=3, universe=uni, mode="auto",
                               state_budget=10_000_000)
     assert "n_reached" in ex.scores.columns          # exact plan chosen
-    ap = closeness_centrality(df, max_t=6, universe=uni, mode="auto",
+    ap = closeness_centrality(df, max_t=3, universe=uni, mode="auto",
                               state_budget=100)
     assert "n_reached_est" in ap.scores.columns      # HLL plan chosen
     with pytest.raises(ValueError):

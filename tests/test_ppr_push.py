@@ -60,17 +60,21 @@ def test_push_dangling_mass_reinjected_at_seed(spark):
     # the fixed point matches the exact teleport run on the same graph
     g = build_graph(spark, spark.createDataFrame(
         [(0, 1)], "src long, dst long"))
-    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-8, max_rounds=60)
+    # rounds scale ~log(1/eps)/log(2) on this 2-vertex fixture and
+    # each round is a full Spark fixpoint step; 1e-5 keeps the compare
+    # bound (below) an order under the asserts at half the rounds
+    res = ppr_push(g, seed=0, alpha=0.5, eps=1e-5, max_rounds=60)
     assert res.converged
     got = {r.id: r.p for r in res.scores.collect()}
     tp = g.vertices.filter(F.col("id") == 0).select(
         "id", F.lit(1.0).alias("p"))
     exact = {r.id: r.rank
-             for r in pagerank(g, alpha=0.5, tol=1e-12, max_iter=200,
+             for r in pagerank(g, alpha=0.5, tol=1e-9, max_iter=200,
                                teleport=tp).ranks.collect()}
-    # residual bound: |p - pr| <= eps * sum(max(deg,1)) = 2e-8 a side
-    assert abs(got[0] - exact[0]) < 1e-7
-    assert abs(got[1] - exact[1]) < 1e-7
+    # residual bound: |p - pr| <= eps * sum(max(deg,1)) = 2e-5, plus the
+    # exact side's own 1e-9 stop residual
+    assert abs(got[0] - exact[0]) < 1e-4
+    assert abs(got[1] - exact[1]) < 1e-4
     g.unpersist()
 
 
