@@ -3984,18 +3984,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
     # per-round correctness harness scores the FIRST 50 entries. With 94
     # queries, 44 go unscored every round, so the order rotates by
-    # evidence freshness — entries come first when they (a) were not
-    # scored last round, (b) had their implementation changed this round,
-    # or (c) are new this round; entries with current driver-green rows
-    # absorb the truncation. Goal: every query holds a driver-green row
-    # no older than one round. Round-5 rotation: group 1 = the 42 entries
-    # whose last driver row is r03 (they were positions 51-92 in r04);
-    # group 2 = new since the r04 run (host_boilerplate, ppr_push) plus
-    # the three whose implementations changed after the r04 scoring
-    # (landmark append-only visited layers, MSF last-round probe,
-    # pack_sequences bucket auto-sizing); group 3 fills the remaining
-    # slots; group 4 (all r04 hash-green, unchanged) carries the
-    # truncation.
+    # evidence freshness — entries come first when they (a) are new (no
+    # driver row ever — the strongest claim to a slot), (b) had their
+    # implementation changed this round, or (c) were not scored last
+    # round; entries with current driver-green rows absorb the
+    # truncation. Goal: every query holds a driver-green row, as fresh
+    # as the window allows. Round-5 rotation: group 1 = entries whose
+    # last driver row is r03 (positions 51-92 in r04), minus four
+    # trivial ones displaced to group 4 (see comment there); group 2 =
+    # new since the r04 run (host_boilerplate, ppr_push) plus the three
+    # whose implementations changed after the r04 scoring (landmark
+    # append-only visited layers, MSF last-round probe, pack_sequences
+    # bucket auto-sizing); group 3 = the new round-5 operators; group 4
+    # (r04/r03 hash-green, unchanged) carries the truncation.
     return {
         # -- group 1: last driver row is r03 (not scored by the r04 run)
         "pagerank_3iter": q_pagerank_3iter,
@@ -4016,9 +4017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         "harmonic_centrality": q_harmonic_centrality,
         "clustering_coefficient": q_clustering_coefficient,
-        "avg_neighbor_degree": q_avg_neighbor_degree,
-        "degree_distribution": q_degree_distribution,
-        "degree_quantiles": q_degree_quantiles,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -4034,7 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
-        "url_normalize": q_url_normalize,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -4053,16 +4050,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_topk": q_priority_sample,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_frontier": q_bloom_frontier,
-        # new round-5 depth ops past the 50-entry scoring window (it is
-        # fully claimed by evidence-freshness rotation above); their
-        # oracle parity is repo-local-verified (tools/check_entry) and
-        # pytest-pinned — see COVERAGE.md
         "dedup_containment": q_dedup_containment,
         "temperature_mix": q_temperature_mix,
         "frontier_schedule": q_frontier_schedule,
         "url_patterns": q_url_patterns,
-        # -- group 4 (tail, beyond the driver's 50): r04 driver-green rows,
-        #    unchanged this round — they carry the truncation
+        # -- group 4 (tail, beyond the driver's 50). First, four r03-green
+        #    entries displaced from group 1 to make room for the four new
+        #    round-5 operators above (a new operator with no driver row at
+        #    all is strictly weaker evidence than an unchanged one whose
+        #    r03 hash-green row stands). Each displaced entry is trivial,
+        #    unchanged since r03, pytest-pinned, and its machinery is
+        #    still exercised by an in-window or r04-green sibling
+        #    (url_normalize ↔ pagerank_webgraph_e2e's ingestion path;
+        #    degree_distribution/quantiles/avg_neighbor_degree ↔
+        #    graph_degrees + graph_degree_bins + graph_assortativity).
+        "url_normalize": q_url_normalize,
+        "degree_distribution": q_degree_distribution,
+        "degree_quantiles": q_degree_quantiles,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        #    Then: r04 driver-green rows, unchanged this round — they
+        #    carry the truncation.
         "graph_degrees": q_graph_degrees,
         "graph_edge_weights": q_graph_edge_weights,
         "graph_dangling": q_graph_dangling,
