@@ -3453,6 +3453,40 @@ FROM scored WHERE rk <= {TFIDF_TOPK}
 """
 
 
+BM25_QUERY = ("join", "spark", "vector")
+BM25_TOPK = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPK} documents for a fixed query bag
+    (ranking.bm25_topk) — query-term filter below every join, broadcast
+    df stats, k-limited sort on the rounded score."""
+    from pagerank_spark.operators.ranking import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     BM25_QUERY, k=BM25_TOPK)
+
+
+SQL_BM25_TOPK = f"""
+WITH {_DOC_TERMS_SQL},
+q AS (SELECT unnest({list(BM25_QUERY)!r}) AS term),
+fdt AS (SELECT dt.doc_id, dt.term, dt.tf FROM dt JOIN q USING (term)),
+stats AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM fdt GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+dl AS (SELECT doc_id, CAST(len({_TOK_SQL}) AS DOUBLE) AS dl FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT fdt.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         sum(ln(1 + (n.n_docs - stats.df + 0.5) / (stats.df + 0.5))
+             * (fdt.tf * (1.2 + 1)) /
+               (fdt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS score
+  FROM fdt JOIN stats USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN n CROSS JOIN ad
+  GROUP BY fdt.doc_id)
+SELECT doc_id, n_matched, round(score, 6) AS score
+FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact word-3gram Jaccard >= 0.5 (the verify stage of the
     MinHash pipeline, run exhaustively so DuckDB can oracle it)."""
@@ -4024,7 +4058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
         "cocitation": q_cocitation,
-        "coupling": q_coupling,
         "edge_support": q_edge_support,
         "k_truss": q_k_truss,
         "lpa_modularity": q_lpa_modularity,
@@ -4054,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "frontier_schedule": q_frontier_schedule,
         "url_patterns": q_url_patterns,
+        "bm25_topk": q_bm25_topk,
         # -- group 4 (tail, beyond the driver's 50). First, four r03-green
         #    entries displaced from group 1 to make room for the four new
         #    round-5 operators above (a new operator with no driver row at
@@ -4068,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "coupling": q_coupling,
         #    Then: r04 driver-green rows, unchanged this round — they
         #    carry the truncation.
         "graph_degrees": q_graph_degrees,
@@ -4160,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _temperature_mix_sql(),
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "url_patterns": SQL_URL_PATTERNS,
+        "bm25_topk": SQL_BM25_TOPK,
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
