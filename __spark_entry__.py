@@ -387,6 +387,53 @@ def _mis_sql(rounds: int = MIS_ORACLE_ROUNDS) -> str:
             + " UNION ALL ".join(decided) + ")")
 
 
+MATCHING_ORACLE_ROUNDS = 12  # fixture converges in 8; extra rounds are no-ops
+
+
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic locally-dominant maximal matching
+    (operators/matching.py): matched edges (a < b) with their decision
+    round. Static md5 edge priorities make the fixpoint reproducible in
+    SQL; the oracle unrolls {MATCHING_ORACLE_ROUNDS} rounds (rounds past
+    the fixpoint are no-ops on an empty active set)."""
+    from pagerank_spark.operators.matching import maximal_matching
+    res = maximal_matching(_edges(spark, sf_dir))
+    assert res.converged, "matching did not converge within max_rounds"
+    assert res.rounds <= MATCHING_ORACLE_ROUNDS, (
+        f"matching took {res.rounds} rounds > "
+        f"{MATCHING_ORACLE_ROUNDS}-round oracle unroll")
+    return res.edges
+
+
+def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
+    parts = [_E_SQL, _S_SQL,
+             ("e0 AS MATERIALIZED (SELECT a, b, ('0x' || substr(md5("
+              "CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)"
+              ")::BIGINT AS h FROM s)")]
+    decided = []
+    for r in range(rounds):
+        parts += [
+            # an edge matches iff it is the strict (h, a, b)-minimum
+            # active edge at BOTH endpoints
+            (f"w{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+             f"WHERE NOT EXISTS (SELECT 1 FROM e{r} x "
+             f"WHERE (x.a = e.a OR x.b = e.a) "
+             f"AND (x.h, x.a, x.b) < (e.h, e.a, e.b)) "
+             f"AND NOT EXISTS (SELECT 1 FROM e{r} x "
+             f"WHERE (x.a = e.b OR x.b = e.b) "
+             f"AND (x.h, x.a, x.b) < (e.h, e.a, e.b)))"),
+            (f"g{r} AS MATERIALIZED "
+             f"(SELECT a AS v FROM w{r} UNION SELECT b FROM w{r})"),
+            (f"e{r+1} AS MATERIALIZED (SELECT a, b, h FROM e{r} "
+             f"WHERE a NOT IN (SELECT v FROM g{r}) "
+             f"AND b NOT IN (SELECT v FROM g{r}))"),
+        ]
+        decided.append(f"SELECT a, b, {r} AS round FROM w{r}")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT a, b, CAST(round AS INT) AS round FROM ("
+            + " UNION ALL ".join(decided) + ")")
+
+
 MSF_ORACLE_ROUNDS = 4   # fixture converges in 2; extra rounds are no-ops
 
 
@@ -4058,7 +4105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
         "cocitation": q_cocitation,
-        "edge_support": q_edge_support,
         "k_truss": q_k_truss,
         "lpa_modularity": q_lpa_modularity,
         "anchor_text_index": q_anchor_text_index,
@@ -4088,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "url_patterns": q_url_patterns,
         "bm25_topk": q_bm25_topk,
+        "maximal_matching": q_maximal_matching,
         # -- group 4 (tail, beyond the driver's 50). First, four r03-green
         #    entries displaced from group 1 to make room for the four new
         #    round-5 operators above (a new operator with no driver row at
@@ -4103,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_quantiles": q_degree_quantiles,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "coupling": q_coupling,
+        "edge_support": q_edge_support,
         #    Then: r04 driver-green rows, unchanged this round — they
         #    carry the truncation.
         "graph_degrees": q_graph_degrees,
@@ -4196,6 +4244,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": SQL_FRONTIER_SCHEDULE,
         "url_patterns": SQL_URL_PATTERNS,
         "bm25_topk": SQL_BM25_TOPK,
+        "maximal_matching": _matching_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
