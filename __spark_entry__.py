@@ -3813,19 +3813,15 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).select("query_id", "neighbor_id", "rank")
 
 
-def _ann_ivf_oracle_sql(dim: int = 64) -> str:
-    """The IVF pipeline in DuckDB SQL: seed cells = the n_cells vectors of
-    smallest shared-hash(id); one Lloyd round (nearest-centroid assign +
-    element-wise mean per cell); corpus assigned to 1 cell, queries probe
-    nprobe cells; cosine + row_number over the candidate cells. Cosine
-    values only ORDER the output (ids+rank are compared), so fp summation
-    differences between engines would need two cosines within ~1e-15 to
-    matter."""
+def _ivf_codebook_ctes(n_cells: int, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain for the deterministic IVF codebook, given a
+    preceding CTE ``e(vec_id, v DOUBLE[])``: seed cells = the n_cells
+    vectors of smallest shared-hash(id), one Lloyd round (nearest-centroid
+    assign + element-wise mean per cell), final corpus assignment ``ca``.
+    Used by both the ann_ivf and semantic_dedup oracles — the identical
+    pipeline similarity.ivf_train_centroids / ivf_assignments runs."""
     h60 = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-seed_order AS (SELECT vec_id, v FROM e ORDER BY {h60}, vec_id LIMIT {_IVF_CELLS}),
+    return f"""seed_order AS (SELECT vec_id, v FROM e ORDER BY {h60}, vec_id LIMIT {n_cells}),
 seeds AS (SELECT row_number() OVER (ORDER BY {h60}, vec_id) - 1 AS cell, v
           FROM seed_order),
 a0 AS (SELECT vec_id, cell FROM (
@@ -3844,7 +3840,19 @@ ca AS (SELECT vec_id, cell FROM (
          SELECT e.vec_id, c.cell,
                 row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell ASC) AS rn
-         FROM e, c1 c) WHERE rn = 1),
+         FROM e, c1 c) WHERE rn = 1)"""
+
+
+def _ann_ivf_oracle_sql(dim: int = 64) -> str:
+    """The IVF pipeline in DuckDB SQL: the shared codebook CTE chain
+    (_ivf_codebook_ctes), then queries probe nprobe cells; cosine +
+    row_number over the candidate cells. Cosine values only ORDER the
+    output (ids+rank are compared), so fp summation differences between
+    engines would need two cosines within ~1e-15 to matter."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+{_ivf_codebook_ctes(_IVF_CELLS, dim)},
 qa AS (SELECT vec_id, cell FROM (
          SELECT e.vec_id, c.cell,
                 row_number() OVER (PARTITION BY e.vec_id
@@ -3931,6 +3939,60 @@ SELECT a, b FROM cand
 JOIN e ea ON ea.vec_id = cand.a
 JOIN e eb ON eb.vec_id = cand.b
 WHERE list_cosine_similarity(ea.v, eb.v) >= CAST({_EDUP_THRESHOLD} AS DOUBLE)
+"""
+
+
+_SEMDEDUP_CELLS = 16
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py) over the same planted-twin corpus
+    as dedup_embedding: IVF codebook clusters, within-cluster cosine >=
+    {_EDUP_THRESHOLD}, keep the lower-(centroid_sim, id) member. Twins are
+    exact power-of-two rescales, so twin pairs hold cosine exactly 1.0 and
+    bit-identical centroid sims in BOTH engines (scaling by 2 is exact in
+    IEEE fp and division is correctly rounded) — the kept verdicts carry
+    no fp-boundary risk; natural pairs top out ~0.513, far below the
+    threshold."""
+    from pagerank_spark.operators.semdedup import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < _EDUP_COPIES).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(2.0).cast("float")).alias("embedding"))
+    corpus = emb.unionByName(twins)
+    return semantic_dedup(corpus, threshold=_EDUP_THRESHOLD,
+                          n_cells=_SEMDEDUP_CELLS, lloyd_iters=1).select(
+        "id", "cell", "centroid_sim",
+        F.col("kept").cast("int").alias("kept"))
+
+
+def _semantic_dedup_oracle_sql(dim: int = _EDUP_DIM) -> str:
+    """semantic_dedup unrolled in DuckDB: plant the doubled twins, rebuild
+    the IVF codebook with the shared CTE chain, cosine to the assigned
+    centroid, then the one-pass removal rule — x dropped iff a same-cell
+    y with pair cosine >= threshold has strictly smaller
+    (centroid_sim, id)."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000,
+                     list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+              FROM embeddings WHERE vec_id < {_EDUP_COPIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM base WHERE embedding IS NOT NULL),
+{_ivf_codebook_ctes(_SEMDEDUP_CELLS, dim)},
+cs AS (SELECT ca.vec_id AS id, ca.cell, e.v,
+              list_cosine_similarity(e.v, c.v) AS sim
+       FROM ca JOIN e USING (vec_id) JOIN c1 c USING (cell)),
+drop1 AS (SELECT DISTINCT x.id FROM cs x JOIN cs y ON y.cell = x.cell
+          WHERE y.id <> x.id
+            AND (y.sim < x.sim OR (y.sim = x.sim AND y.id < x.id))
+            AND list_cosine_similarity(x.v, y.v)
+                >= CAST({_EDUP_THRESHOLD} AS DOUBLE))
+SELECT cs.id, cs.cell, round(cs.sim, 6) AS centroid_sim,
+       CAST(CASE WHEN drop1.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM cs LEFT JOIN drop1 ON drop1.id = cs.id
 """
 
 
@@ -4097,7 +4159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "neighborhood_function": q_neighborhood_function,
         "harmonic_centrality": q_harmonic_centrality,
-        "clustering_coefficient": q_clustering_coefficient,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -4135,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_patterns": q_url_patterns,
         "bm25_topk": q_bm25_topk,
         "maximal_matching": q_maximal_matching,
+        "semantic_dedup": q_semantic_dedup,
         # -- group 4 (tail, beyond the driver's 50). First, four r03-green
         #    entries displaced from group 1 to make room for the four new
         #    round-5 operators above (a new operator with no driver row at
@@ -4151,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "coupling": q_coupling,
         "edge_support": q_edge_support,
+        "clustering_coefficient": q_clustering_coefficient,
         #    Then: r04 driver-green rows, unchanged this round — they
         #    carry the truncation.
         "graph_degrees": q_graph_degrees,
@@ -4245,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "url_patterns": SQL_URL_PATTERNS,
         "bm25_topk": SQL_BM25_TOPK,
         "maximal_matching": _matching_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,
