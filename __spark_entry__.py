@@ -3500,6 +3500,56 @@ FROM scored WHERE rk <= {TFIDF_TOPK}
 """
 
 
+DSIR_K, DSIR_BUCKETS, DSIR_ALPHA = 100, 1024, 1.0
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): hashed-unigram
+    models fit on the English subset (target) vs the whole documents
+    table (raw), Gumbel top-{DSIR_K} on the log-likelihood ratio. Hash
+    buckets and Gumbel noise both derive from shared_hash60, so the
+    pipeline replays identically in the oracle."""
+    from pagerank_spark.operators.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                       k=DSIR_K, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA)
+
+
+def _dsir_sql() -> str:
+    h = "('0x' || substr(md5(term), 1, 15))::BIGINT"
+    hid = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    b, a = DSIR_BUCKETS, DSIR_ALPHA
+    return f"""
+WITH {_DOC_TERMS_SQL},
+ttok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+         WHERE lang = 'en'),
+tdt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM ttok GROUP BY 1, 2),
+rawb AS (SELECT {h} % {b} AS bucket, CAST(sum(tf) AS DOUBLE) AS c
+         FROM dt GROUP BY 1),
+tgtb AS (SELECT {h} % {b} AS bucket, CAST(sum(tf) AS DOUBLE) AS c
+         FROM tdt GROUP BY 1),
+rtot AS (SELECT coalesce(sum(c), 0) AS t FROM rawb),
+ttot AS (SELECT coalesce(sum(c), 0) AS t FROM tgtb),
+model AS (
+  SELECT coalesce(tg.bucket, rw.bucket) AS bucket,
+         (ln(coalesce(tg.c, 0) + {a}) - ln(ttot.t + {a} * {b}))
+       - (ln(coalesce(rw.c, 0) + {a}) - ln(rtot.t + {a} * {b})) AS llr
+  FROM tgtb tg FULL JOIN rawb rw ON rw.bucket = tg.bucket
+  CROSS JOIN rtot CROSS JOIN ttot),
+scored AS (
+  SELECT dt.doc_id, sum(dt.tf * model.llr) AS log_ratio
+  FROM dt JOIN model ON model.bucket = {h} % {b}
+  GROUP BY dt.doc_id),
+g AS (SELECT doc_id, log_ratio,
+             log_ratio - ln(-ln(({hid} + 1.0) / {float(1 << 60) + 1.0!r}))
+             AS score
+      FROM scored)
+SELECT doc_id, round(log_ratio, 6) AS log_ratio, round(score, 6) AS score
+FROM g ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {DSIR_K}
+"""
+
+
 BM25_QUERY = ("join", "spark", "vector")
 BM25_TOPK = 20
 
@@ -4133,7 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round; entries with current driver-green rows absorb the
     # truncation. Goal: every query holds a driver-green row, as fresh
     # as the window allows. Round-5 rotation: group 1 = entries whose
-    # last driver row is r03 (positions 51-92 in r04), minus four
+    # last driver row is r03 (positions 51-92 in r04), minus five
     # trivial ones displaced to group 4 (see comment there); group 2 =
     # new since the r04 run (host_boilerplate, ppr_push) plus the three
     # whose implementations changed after the r04 scoring (landmark
@@ -4151,7 +4201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "seeded_labelprop": q_seeded_labelprop,
         "triangle_count": q_triangle_count,
-        "triangles_per_vertex": q_triangles_per_vertex,
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
         "k_core_44": q_k_core,
@@ -4197,8 +4246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "maximal_matching": q_maximal_matching,
         "semantic_dedup": q_semantic_dedup,
-        # -- group 4 (tail, beyond the driver's 50). First, four r03-green
-        #    entries displaced from group 1 to make room for the four new
+        "dsir_select": q_dsir_select,
+        # -- group 4 (tail, beyond the driver's 50). First, five r03-green
+        #    entries displaced from group 1 to make room for the five new
         #    round-5 operators above (a new operator with no driver row at
         #    all is strictly weaker evidence than an unchanged one whose
         #    r03 hash-green row stands). Each displaced entry is trivial,
@@ -4206,7 +4256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    still exercised by an in-window or r04-green sibling
         #    (url_normalize ↔ pagerank_webgraph_e2e's ingestion path;
         #    degree_distribution/quantiles/avg_neighbor_degree ↔
-        #    graph_degrees + graph_degree_bins + graph_assortativity).
+        #    graph_degrees + graph_degree_bins + graph_assortativity;
+        #    triangles_per_vertex ↔ triangle_count, same triangles.py
+        #    enumeration, plus the r04-green clustering-coefficient row).
+        "triangles_per_vertex": q_triangles_per_vertex,
         "url_normalize": q_url_normalize,
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
@@ -4309,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "maximal_matching": _matching_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "dsir_select": _dsir_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

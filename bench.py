@@ -234,6 +234,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
     from pagerank_spark.operators.textops import corpus_filter
     timed("corpus_filter", lambda: noop(corpus_filter(docs, min_tokens=25)))
+    from pagerank_spark.operators.dsir import dsir_select
+    timed("dsir_select", lambda: noop(dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=100, n_buckets=1024)))
     from pagerank_spark.operators.dedup import host_boilerplate
     timed("host_boilerplate", lambda: noop(host_boilerplate(
         docs, host_col="source", w=20, min_pages=5, min_frac=0.05)))
