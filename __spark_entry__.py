@@ -434,6 +434,79 @@ def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
             + " UNION ALL ".join(decided) + ")")
 
 
+# coloring gets its own SPARSER fixture: on the shared MOD-2048 graph the
+# avg degree is ~58 (sf0.01) and ANY greedy colouring serializes on the
+# dense neighbourhoods (measured: pure Jones-Plassmann >60 rounds,
+# speculative 22; at 16384 the same lineitem projection gives avg degree
+# ~8 — a web-graph-like sparsity — and 9 rounds)
+COLORING_MOD = 16384
+COLORING_ORACLE_ROUNDS = 12  # fixture converges in 9; extra rounds no-op
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic speculative greedy colouring (operators/coloring.py):
+    every vertex with its 0-based colour and decision round. Static
+    md5-derived priorities decide speculation conflicts, so the fixpoint
+    is partitioning-independent and reproducible in SQL; the oracle
+    unrolls {COLORING_ORACLE_ROUNDS} rounds."""
+    from pagerank_spark.operators.coloring import greedy_coloring
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select((F.col("l_partkey") % COLORING_MOD).alias("src"),
+                      (F.col("l_orderkey") % COLORING_MOD).alias("dst"))
+    res = greedy_coloring(edges)
+    assert res.converged, "coloring did not converge within max_rounds"
+    assert res.rounds <= COLORING_ORACLE_ROUNDS, (
+        f"coloring took {res.rounds} rounds > "
+        f"{COLORING_ORACLE_ROUNDS}-round oracle unroll")
+    return res.colors
+
+
+def _coloring_sql(rounds: int = COLORING_ORACLE_ROUNDS) -> str:
+    pri = ("('0x' || substr(md5(CAST({v} AS VARCHAR) || ':c'), 1, 15))"
+           "::BIGINT")
+    parts = [
+        (f"e AS (SELECT l_partkey % {COLORING_MOD} AS src, "
+         f"l_orderkey % {COLORING_MOD} AS dst FROM lineitem)"),
+        ("cs AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) "
+         "AS b FROM e WHERE src <> dst)"),
+        ("csym AS MATERIALIZED (SELECT a AS src, b AS dst FROM cs "
+         "UNION ALL SELECT b, a FROM cs)"),
+        "a0 AS (SELECT DISTINCT src AS id FROM csym)",
+        "col0 AS (SELECT CAST(NULL AS BIGINT) AS id, 0 AS color WHERE 1=0)",
+    ]
+    decided = []
+    for r in range(rounds):
+        parts += [
+            # tentative colour: mex over already-coloured neighbours
+            # (range is one longer than the used set, so the minimum
+            # missing value always exists; no coloured neighbour -> 0)
+            (f"t{r} AS MATERIALIZED (SELECT v.id, coalesce(list_min("
+             f"list_filter(range(0, coalesce(len(u.used), 0) + 2), "
+             f"i -> NOT list_contains(u.used, i))), 0) AS c "
+             f"FROM a{r} v LEFT JOIN ("
+             f"SELECT e.src AS id, list(DISTINCT col.color) AS used "
+             f"FROM csym e JOIN col{r} col ON col.id = e.dst "
+             f"GROUP BY e.src) u ON u.id = v.id)"),
+            # conflicts: adjacent same-colour speculation — the larger
+            # (h, id) endpoint retries
+            (f"l{r} AS MATERIALIZED (SELECT DISTINCT t.id FROM t{r} t "
+             f"JOIN csym e ON e.src = t.id JOIN t{r} q ON q.id = e.dst "
+             f"WHERE q.c = t.c AND ({pri.format(v='q.id')}, q.id) < "
+             f"({pri.format(v='t.id')}, t.id))"),
+            (f"w{r} AS MATERIALIZED (SELECT id, c FROM t{r} "
+             f"WHERE id NOT IN (SELECT id FROM l{r}))"),
+            (f"col{r+1} AS MATERIALIZED (SELECT id, color FROM col{r} "
+             f"UNION ALL SELECT id, c FROM w{r})"),
+            (f"a{r+1} AS MATERIALIZED (SELECT id FROM a{r} "
+             f"WHERE id NOT IN (SELECT id FROM w{r}))"),
+        ]
+        decided.append(f"SELECT id, c AS color, {r} AS round FROM w{r}")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT id, CAST(color AS INT) AS color, "
+            + "CAST(round AS INT) AS round FROM ("
+            + " UNION ALL ".join(decided) + ")")
+
+
 MSF_ORACLE_ROUNDS = 4   # fixture converges in 2; extra rounds are no-ops
 
 
@@ -3550,6 +3623,47 @@ FROM g ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {DSIR_K}
 """
 
 
+WINNOW_K, WINNOW_W = 5, 4
+WINNOW_MIN_SHARED, WINNOW_MAX_DF = 2, 50
+
+
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint candidate pairs (operators/winnow.py):
+    document pairs sharing ≥ {WINNOW_MIN_SHARED} window-min shingle
+    hashes (MOSS local-overlap guarantee at t = w+k-1 =
+    {WINNOW_W + WINNOW_K - 1} tokens), hot fingerprints dropped at
+    df > {WINNOW_MAX_DF}."""
+    from pagerank_spark.operators.winnow import winnow_candidates
+    return winnow_candidates(_t(spark, sf_dir, "documents"),
+                             k=WINNOW_K, w=WINNOW_W,
+                             min_shared=WINNOW_MIN_SHARED,
+                             max_doc_freq=WINNOW_MAX_DF)
+
+
+def _winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    h = _H60.format(s=f"array_to_string(t[i:i+{k-1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, list_transform(
+         range(1, greatest(len(t) - {k - 1}, 0) + 1), i -> {h}) AS h
+       FROM toks),
+win AS (SELECT doc_id, CASE
+         WHEN len(h) >= {w} THEN list_transform(
+              range(1, len(h) - {w - 1} + 1), i -> list_min(h[i:i+{w-1}]))
+         WHEN len(h) > 0 THEN [list_min(h)]
+         ELSE [] END AS fps FROM sh),
+fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM win),
+rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+         WHERE df <= {WINNOW_MAX_DF}),
+fpr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON r.fp = f.fp)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM fpr x JOIN fpr y ON y.fp = x.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 BM25_QUERY = ("join", "spark", "vector")
 BM25_TOPK = 20
 
@@ -4206,7 +4320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_44": q_k_core,
         "coreness": q_coreness,
         "bowtie": q_bowtie,
-        "neighborhood_function": q_neighborhood_function,
         "harmonic_centrality": q_harmonic_centrality,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
@@ -4224,7 +4337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
-        "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "multimodal_features": q_multimodal_features,
         # -- group 2: new since the r04 driver run, or implementation
         #    touched after it (bfs.py visited layers; mst.py final probe;
@@ -4247,6 +4359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "greedy_coloring": q_coloring,
+        "winnow_dedup": q_winnow_dedup,
         # -- group 4 (tail, beyond the driver's 50). First, five r03-green
         #    entries displaced from group 1 to make room for the five new
         #    round-5 operators above (a new operator with no driver row at
@@ -4258,8 +4372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    degree_distribution/quantiles/avg_neighbor_degree ↔
         #    graph_degrees + graph_degree_bins + graph_assortativity;
         #    triangles_per_vertex ↔ triangle_count, same triangles.py
-        #    enumeration, plus the r04-green clustering-coefficient row).
+        #    enumeration, plus the r04-green clustering-coefficient row;
+        #    neighborhood_function ↔ harmonic_centrality in-window plus
+        #    the r04-green distance_stats/closeness rows, all four the
+        #    same neighborhood.py HyperANF machinery;
+        #    streaming_hourly_rollup ↔ events_hourly_rollup r04-green —
+        #    identical rollup semantics, batch vs readStream source —
+        #    with streaming_edge_ingest keeping the streaming surface
+        #    in-window).
         "triangles_per_vertex": q_triangles_per_vertex,
+        "neighborhood_function": q_neighborhood_function,
+        "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "url_normalize": q_url_normalize,
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
@@ -4363,6 +4486,8 @@ def oracle_sql() -> dict[str, str]:
         "maximal_matching": _matching_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dsir_select": _dsir_sql(),
+        "greedy_coloring": _coloring_sql(),
+        "winnow_dedup": _winnow_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -131,6 +131,15 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("mis", lambda: noop(maximal_independent_set(edges).members))
     from pagerank_spark.operators.mst import minimum_spanning_forest
     timed("msf", lambda: noop(minimum_spanning_forest(edges).edges))
+    from pagerank_spark.operators.coloring import greedy_coloring
+    # coloring gets a sparse web-like projection (the shared dense fixture
+    # serializes ANY greedy colouring; see operators/coloring.py). MOD
+    # 65536 keeps avg degree ~18 at sf0.1 — 15 speculative rounds —
+    # where the driver-oracle fixture's MOD 16384 would hit 27 at this sf
+    cedges = li.select((F.col("l_partkey") % 65536).alias("src"),
+                       (F.col("l_orderkey") % 65536).alias("dst"))
+    timed("greedy_coloring",
+          lambda: noop(greedy_coloring(cedges, max_rounds=120).colors))
     from pagerank_spark.operators.densest import densest_subgraph
     timed("densest_subgraph",
           lambda: noop(densest_subgraph(edges, epsilon=0.1).best_vertices))
@@ -240,6 +249,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.dedup import host_boilerplate
     timed("host_boilerplate", lambda: noop(host_boilerplate(
         docs, host_col="source", w=20, min_pages=5, min_frac=0.05)))
+    from pagerank_spark.operators.winnow import winnow_candidates
+    timed("winnow_dedup", lambda: noop(winnow_candidates(docs)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",
