@@ -2622,6 +2622,37 @@ SELECT o_custkey, o_orderkey, rn FROM (
 """
 
 
+HLL_B_USERS, HLL_B_EVENTS = 10, 8
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx COUNT DISTINCT per event_type (operators/hll.py):
+    distinct users at b={HLL_B_USERS} (the 150-user cardinality lands in
+    the linear-counting branch) and distinct event ids at
+    b={HLL_B_EVENTS} (the 10k cardinality exercises the raw harmonic
+    estimator). Registers, the integer harmonic sum, and both correction
+    branches replay bit-identically in the oracle."""
+    from pagerank_spark.operators.hll import hll_count_distinct
+    ev = _t(spark, sf_dir, "events")
+    users = hll_count_distinct(ev, ["event_type"], "user_id",
+                               b=HLL_B_USERS, out_col="approx_users")
+    evts = hll_count_distinct(ev, ["event_type"], "event_id",
+                              b=HLL_B_EVENTS, out_col="approx_events")
+    return users.join(evts, "event_type")
+
+
+def _hll_distinct_sql() -> str:
+    from pagerank_spark.operators.hll import hll_sql
+    ua = hll_sql("event_type", "user_id", "events",
+                 b=HLL_B_USERS, out_col="approx_users")
+    eb = hll_sql("event_type", "event_id", "events",
+                 b=HLL_B_EVENTS, out_col="approx_events")
+    return f"""
+SELECT ua.grp AS event_type, ua.approx_users, eb.approx_events
+FROM (WITH {ua}) ua JOIN (WITH {eb}) eb ON eb.grp = ua.grp
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
@@ -4289,15 +4320,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
-    # per-round correctness harness scores the FIRST 50 entries. With 94
-    # queries, 44 go unscored every round, so the order rotates by
+    # per-round correctness harness scores the FIRST 50 entries. With
+    # 108 queries, 58 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) are new (no
     # driver row ever — the strongest claim to a slot), (b) had their
     # implementation changed this round, or (c) were not scored last
     # round; entries with current driver-green rows absorb the
     # truncation. Goal: every query holds a driver-green row, as fresh
     # as the window allows. Round-5 rotation: group 1 = entries whose
-    # last driver row is r03 (positions 51-92 in r04), minus five
+    # last driver row is r03 (positions 51-92 in r04), minus eight
     # trivial ones displaced to group 4 (see comment there); group 2 =
     # new since the r04 run (host_boilerplate, ppr_push) plus the three
     # whose implementations changed after the r04 scoring (landmark
@@ -4335,7 +4366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "similarity_topk_cosine": q_similarity_topk_cosine,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "multimodal_features": q_multimodal_features,
         # -- group 2: new since the r04 driver run, or implementation
@@ -4361,9 +4391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "greedy_coloring": q_coloring,
         "winnow_dedup": q_winnow_dedup,
-        # -- group 4 (tail, beyond the driver's 50). First, five r03-green
-        #    entries displaced from group 1 to make room for the five new
-        #    round-5 operators above (a new operator with no driver row at
+        "hll_distinct": q_hll_distinct,
+        # -- group 4 (tail, beyond the driver's 50). First, eight
+        #    r03-green entries displaced from group 1 to make room for
+        #    the new round-5 operators above (a new operator with no driver row at
         #    all is strictly weaker evidence than an unchanged one whose
         #    r03 hash-green row stands). Each displaced entry is trivial,
         #    unchanged since r03, pytest-pinned, and its machinery is
@@ -4379,10 +4410,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    streaming_hourly_rollup ↔ events_hourly_rollup r04-green —
         #    identical rollup semantics, batch vs readStream source —
         #    with streaming_edge_ingest keeping the streaming surface
-        #    in-window).
+        #    in-window; similarity_ann_lsh ↔ similarity_ann_ivf +
+        #    similarity_topk_cosine in-window plus the r04-green
+        #    dedup_embedding row, which exercises the same hyperplane-LSH
+        #    bucketing).
         "triangles_per_vertex": q_triangles_per_vertex,
         "neighborhood_function": q_neighborhood_function,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
         "url_normalize": q_url_normalize,
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
@@ -4488,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "greedy_coloring": _coloring_sql(),
         "winnow_dedup": _winnow_sql(),
+        "hll_distinct": _hll_distinct_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -229,6 +229,7 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("events_hourly_rollup", lambda: noop(entry.q_events_hourly_rollup(spark, sf_dir)))
     timed("events_sessionization",
           lambda: noop(entry.q_events_sessionization(spark, sf_dir)))
+    timed("hll_distinct", lambda: noop(entry.q_hll_distinct(spark, sf_dir)))
 
     # -- training-data pipeline
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

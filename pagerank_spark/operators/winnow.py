@@ -92,6 +92,10 @@ def winnow_candidates(docs: DataFrame, *, k: int = 5, w: int = 4,
     """
     fps = winnow_fingerprints(docs, k=k, w=w,
                               id_col=id_col, text_col=text_col)
+    # the fingerprint table fans out three ways (df-count, both join
+    # sides); materialize it once so the raw-text scan + extraction run
+    # once, not per consumer (plan-audited: 4 text scans without this)
+    fps = fps.localCheckpoint(eager=True)
     rare = (fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_doc_freq)
