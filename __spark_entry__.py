@@ -2914,6 +2914,45 @@ LEFT JOIN kept ON d.doc_id = kept.doc_id
 """
 
 
+MIRROR_MIN_SHARED, MIRROR_MAX_HF = 2, 10
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/mirrors.py): host pairs ranked by
+    exact Jaccard over their distinct {PASSAGE_W}-token passage sets,
+    pairs sharing ≥ {MIRROR_MIN_SHARED} passages, boilerplate passages
+    (> {MIRROR_MAX_HF} hosts) dropped before pairing. Non-trivial at
+    sf0.01: the planted document duplicates scatter across sources."""
+    from pagerank_spark.operators.mirrors import mirror_hosts
+    return mirror_hosts(_t(spark, sf_dir, "documents"), w=PASSAGE_W,
+                        min_shared=MIRROR_MIN_SHARED,
+                        max_host_freq=MIRROR_MAX_HF)
+
+
+def _mirror_hosts_sql(w: int = PASSAGE_W) -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, source, {_TOK_SQL} AS t FROM documents),
+p AS (
+  SELECT DISTINCT source AS host,
+         array_to_string(t[g.i*{w}+1 : g.i*{w}+{w}], ' ') AS passage
+  FROM tk, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(len(t) / CAST({w} AS DOUBLE)) AS BIGINT))) AS i) g),
+sz AS (SELECT host, count(*) AS n FROM p GROUP BY host),
+rare AS (SELECT passage FROM (SELECT passage, count(*) AS hf FROM p
+         GROUP BY passage) WHERE hf <= {MIRROR_MAX_HF}),
+pr AS (SELECT p.host, p.passage FROM p JOIN rare r
+       ON r.passage = p.passage),
+pairs AS (
+  SELECT x.host AS host_a, y.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM pr x JOIN pr y ON y.passage = x.passage AND x.host < y.host
+  GROUP BY 1, 2 HAVING count(*) >= {MIRROR_MIN_SHARED})
+SELECT host_a, host_b, shared, a.n AS n_a, b.n AS n_b,
+       round(shared / (a.n + b.n - shared), 6) AS jaccard
+FROM pairs JOIN sz a ON a.host = host_a JOIN sz b ON b.host = host_b
+"""
+
+
 # 18 tokens; "host" + the source value in front make each footer exactly
 # PASSAGE_W=20 tokens, so a planted footer IS passage 0 of its document
 HB_FOOTER_TAIL = ("footer copyright all rights reserved subscribe newsletter "
@@ -4321,14 +4360,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
     # per-round correctness harness scores the FIRST 50 entries. With
-    # 108 queries, 58 go unscored every round, so the order rotates by
+    # 109 queries, 59 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) are new (no
     # driver row ever — the strongest claim to a slot), (b) had their
     # implementation changed this round, or (c) were not scored last
     # round; entries with current driver-green rows absorb the
     # truncation. Goal: every query holds a driver-green row, as fresh
     # as the window allows. Round-5 rotation: group 1 = entries whose
-    # last driver row is r03 (positions 51-92 in r04), minus eight
+    # last driver row is r03 (positions 51-92 in r04), minus nine
     # trivial ones displaced to group 4 (see comment there); group 2 =
     # new since the r04 run (host_boilerplate, ppr_push) plus the three
     # whose implementations changed after the r04 scoring (landmark
@@ -4339,7 +4378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: last driver row is r03 (not scored by the r04 run)
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
-        "pagerank_personalized": q_pagerank_personalized,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
         "connected_components": q_connected_components,
@@ -4392,7 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": q_coloring,
         "winnow_dedup": q_winnow_dedup,
         "hll_distinct": q_hll_distinct,
-        # -- group 4 (tail, beyond the driver's 50). First, eight
+        "mirror_hosts": q_mirror_hosts,
+        # -- group 4 (tail, beyond the driver's 50). First, nine
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
         #    all is strictly weaker evidence than an unchanged one whose
@@ -4413,11 +4452,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window; similarity_ann_lsh ↔ similarity_ann_ivf +
         #    similarity_topk_cosine in-window plus the r04-green
         #    dedup_embedding row, which exercises the same hyperplane-LSH
-        #    bucketing).
+        #    bucketing; pagerank_personalized ↔ pagerank_3iter/_converged
+        #    in-window plus the r04-green ppr_batch row — the same
+        #    personalization-vector power iteration).
         "triangles_per_vertex": q_triangles_per_vertex,
         "neighborhood_function": q_neighborhood_function,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "pagerank_personalized": q_pagerank_personalized,
         "url_normalize": q_url_normalize,
         "degree_distribution": q_degree_distribution,
         "degree_quantiles": q_degree_quantiles,
@@ -4524,6 +4566,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _coloring_sql(),
         "winnow_dedup": _winnow_sql(),
         "hll_distinct": _hll_distinct_sql(),
+        "mirror_hosts": _mirror_hosts_sql(),
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

@@ -250,6 +250,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.dedup import host_boilerplate
     timed("host_boilerplate", lambda: noop(host_boilerplate(
         docs, host_col="source", w=20, min_pages=5, min_frac=0.05)))
+    from pagerank_spark.operators.mirrors import mirror_hosts
+    timed("mirror_hosts", lambda: noop(mirror_hosts(docs)))
     from pagerank_spark.operators.winnow import winnow_candidates
     timed("winnow_dedup", lambda: noop(winnow_candidates(docs)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
