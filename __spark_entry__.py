@@ -2668,6 +2668,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, day): all four grouping sets in
+    one pass (Spark Expand — each input row fans out once per set,
+    partials combine map-side; no self-union of scans). grouping_id
+    disambiguates NULL-as-total from a NULL group value."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.cube(F.col("event_type"),
+                    F.date_trunc("day", "ts").alias("day"))
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 _dsum(F.col("value"), 6).alias("sum_value"))
+            .select("gid",
+                    F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce(F.date_format("day", "yyyy-MM-dd"),
+                               F.lit("ALL")).alias("day"),
+                    "n_events", "sum_value"))
+
+
+SQL_EVENTS_CUBE = """
+SELECT grouping(event_type) * 2 + grouping(date_trunc('day', ts)) AS gid,
+       coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization via lag + cumulative flag sum."""
     ev = _t(spark, sf_dir, "events")
@@ -4360,14 +4388,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
     # per-round correctness harness scores the FIRST 50 entries. With
-    # 109 queries, 59 go unscored every round, so the order rotates by
+    # 110 queries, 60 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) are new (no
     # driver row ever — the strongest claim to a slot), (b) had their
     # implementation changed this round, or (c) were not scored last
     # round; entries with current driver-green rows absorb the
     # truncation. Goal: every query holds a driver-green row, as fresh
     # as the window allows. Round-5 rotation: group 1 = entries whose
-    # last driver row is r03 (positions 51-92 in r04), minus nine
+    # last driver row is r03 (positions 51-92 in r04), minus ten
     # trivial ones displaced to group 4 (see comment there); group 2 =
     # new since the r04 run (host_boilerplate, ppr_push) plus the three
     # whose implementations changed after the r04 scoring (landmark
@@ -4396,7 +4424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_3iter": q_salsa_3iter,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
-        "cocitation": q_cocitation,
         "k_truss": q_k_truss,
         "lpa_modularity": q_lpa_modularity,
         "anchor_text_index": q_anchor_text_index,
@@ -4431,7 +4458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": q_winnow_dedup,
         "hll_distinct": q_hll_distinct,
         "mirror_hosts": q_mirror_hosts,
-        # -- group 4 (tail, beyond the driver's 50). First, nine
+        "events_cube": q_events_cube,
+        # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
         #    all is strictly weaker evidence than an unchanged one whose
@@ -4454,8 +4482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_embedding row, which exercises the same hyperplane-LSH
         #    bucketing; pagerank_personalized ↔ pagerank_3iter/_converged
         #    in-window plus the r04-green ppr_batch row — the same
-        #    personalization-vector power iteration).
+        #    personalization-vector power iteration; cocitation ↔
+        #    link_prediction in-window (the same wedge-join shape and the
+        #    same capped-explode/exact dual-plan dispatch, pinned by
+        #    cross-plan equivalence pytests) with coupling its direct
+        #    r03-green twin).
         "triangles_per_vertex": q_triangles_per_vertex,
+        "cocitation": q_cocitation,
         "neighborhood_function": q_neighborhood_function,
         "streaming_hourly_rollup": q_streaming_hourly_rollup,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -4567,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dedup": _winnow_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "mirror_hosts": _mirror_hosts_sql(),
+        "events_cube": SQL_EVENTS_CUBE,
         "resolve_redirects": _redirects_oracle_sql(REDIR_MAX_HOPS),
         "seeded_labelprop": _seeded_lp_oracle_sql(LP_ROUNDS, SLP_SEEDS),
         "triangle_count": SQL_TRIANGLE_COUNT,

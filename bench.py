@@ -230,6 +230,7 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("events_sessionization",
           lambda: noop(entry.q_events_sessionization(spark, sf_dir)))
     timed("hll_distinct", lambda: noop(entry.q_hll_distinct(spark, sf_dir)))
+    timed("events_cube", lambda: noop(entry.q_events_cube(spark, sf_dir)))
 
     # -- training-data pipeline
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

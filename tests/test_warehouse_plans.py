@@ -53,3 +53,27 @@ def test_filter_pushdown_and_pruning(spark, tmp_path):
     assert "IsNotNull(g)" in pushed_filters(df) or "EqualTo(g,3)" in pushed_filters(df)
     rs = scan_schema(df)
     assert "v" not in rs  # projection pruned the unused column
+
+
+def test_cube_grouping_sets_single_expand_pass(spark):
+    # all four grouping sets of a 2-key CUBE in ONE aggregate over an
+    # Expand (no self-union of scans), gid disambiguating totals
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 2.0)],
+        schema="k string, d int, v double")
+    out = (df.cube("k", "d")
+           .agg(F.grouping_id().alias("gid"),
+                F.sum("v").alias("s"))
+           .collect())
+    rows = {(r.k, r.d, r.gid): r.s for r in out}
+    assert rows[("a", 1, 0)] == 10.0
+    assert rows[("a", None, 1)] == 15.0   # day grouped out
+    assert rows[(None, 1, 2)] == 12.0     # key grouped out
+    assert rows[(None, None, 3)] == 17.0  # grand total
+    assert len(rows) == 3 + 2 + 2 + 1
+    # physical plan: exactly one Expand feeding one aggregation pipeline
+    q = (df.cube("k", "d").agg(F.grouping_id().alias("gid"),
+                               F.sum("v").alias("s")))
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple")
+    assert plan.count("Expand") == 1
