@@ -4441,8 +4441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "minimum_spanning_forest": q_msf,
         "pack_sequences": q_pack_sequences,
-        # -- group 3: new round-5 operators (priority sampling, count-min
-        #    heavy hitters, Bloom frontier) — fill the window to exactly 50
+        # -- group 3: new round-5 operators (sampling/sketch trio, then
+        #    the late-round additions: containment, temperature mix,
+        #    frontier scheduling, URL patterns, BM25, matching, SemDeDup,
+        #    DSIR, coloring, winnowing, HLL distinct, mirror hosts, CUBE)
+        #    — fill the window to exactly 50
         "priority_sample_topk": q_priority_sample,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_frontier": q_bloom_frontier,
