@@ -3452,6 +3452,37 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+PMI_MIN_COUNT = 3
+PMI_K = 200
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over the corpus
+    bigram table (operators/textops.py pmi_collocations, Church-Hanks
+    1990): top-{PMI_K} pairs with n >= {PMI_MIN_COUNT}, pmi rounded to
+    6 dp and IN the sort key so the k-boundary is engine-independent."""
+    from pagerank_spark.operators.textops import pmi_collocations
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            min_count=PMI_MIN_COUNT, k=PMI_K)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH tkt AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+bg AS (SELECT t[g.i] AS prev, t[g.i + 1] AS cur
+       FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+pairs AS (SELECT prev, cur, count(*) AS n_pair FROM bg GROUP BY 1, 2
+          HAVING count(*) >= {PMI_MIN_COUNT}),
+cp AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+cc AS (SELECT cur, count(*) AS c_cur FROM bg GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM bg)
+SELECT prev, cur, n_pair,
+       round(log2((n_pair * n_total) / CAST(c_prev * c_cur AS DOUBLE)), 6)
+           AS pmi
+FROM pairs JOIN cp USING (prev) JOIN cc USING (cur) CROSS JOIN tot
+ORDER BY pmi DESC, prev, cur LIMIT {PMI_K}
+"""
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -4552,6 +4583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "lm_perplexity": q_lm_perplexity,
         "community_conductance": q_community_conductance,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4679,4 +4711,5 @@ def oracle_sql() -> dict[str, str]:
         # even the stubbed media decode is oracled: the fake decoder IS
         # the splitmix64 byte generator, replicated in SQL
         "multimodal_features": _multimodal_oracle_sql(),
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
     }

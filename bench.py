@@ -241,6 +241,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("docs_repetition", lambda: noop(repetition_stats(docs)))
     from pagerank_spark.operators.textops import lm_perplexity
     timed("lm_perplexity", lambda: noop(lm_perplexity(docs)))
+    from pagerank_spark.operators.textops import pmi_collocations
+    timed("pmi_collocations", lambda: noop(pmi_collocations(
+        docs, min_count=3, k=200)))
     from pagerank_spark.operators.dedup import passage_dedup
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
     from pagerank_spark.operators.textops import corpus_filter

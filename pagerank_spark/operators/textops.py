@@ -420,3 +420,54 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
                 F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                 F.round(F.coalesce(F.pow(F.lit(2.0), F.col("h")),
                                    F.lit(0.0)), 6).alias("ppl")))
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 2, k: int = 100,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks,
+    "Word Association Norms, Mutual Information, and Lexicography", CL
+    1990) — the corpus statistic word2vec-style embedding prep and phrase
+    detection (Mikolov et al. 2013 §4) are built on. Event space is the
+    corpus bigram table: with N total bigrams, c_prev(a) occurrences of
+    ``a`` in first position and c_cur(b) of ``b`` in second,
+
+        pmi(a, b) = log2( n(a, b) * N / (c_prev(a) * c_cur(b)) )
+
+    Returns the top-``k`` pairs with ``n >= min_count`` as
+    ``(prev, cur, n_pair, pmi)``, ordered by (pmi desc, prev, cur) —
+    rounded pmi in the sort so the k-boundary is the same total order in
+    any engine.
+
+    Scale shape: the corpus is scanned and shuffled ONCE — a (prev, cur)
+    hash aggregate whose map-side partials collapse duplicate bigrams
+    before the exchange. Unigram counts and N are DERIVED from that pair
+    table (c_prev(a) = Σ_b n(a,b) etc.), so the three follow-on
+    aggregates shuffle only distinct-pair rows (vocab-bounded, not
+    corpus-bounded). The ``min_count`` floor prunes the pair table before
+    the two unigram equi-joins (each keyed by a single token — hot keys
+    are what AQE skew-join splits); N is a 1-row broadcast; the global
+    top-k is TakeOrderedAndProject (per-partition heaps, no full sort).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    pairs_all = (bg.groupBy("prev", "cur")
+                 .agg(F.count(F.lit(1)).alias("n_pair")))
+    # one checkpoint of the distinct-pair table feeds all four consumers —
+    # without it Spark re-scans and re-shuffles the full corpus per branch
+    pairs_all = pairs_all.localCheckpoint(eager=False)
+    pairs = pairs_all.filter(F.col("n_pair") >= min_count)
+    c_prev = pairs_all.groupBy("prev").agg(F.sum("n_pair").alias("c_prev"))
+    c_cur = pairs_all.groupBy("cur").agg(F.sum("n_pair").alias("c_cur"))
+    total = pairs_all.agg(F.sum("n_pair").alias("n_total"))
+    scored = (pairs.join(c_prev, "prev").join(c_cur, "cur")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  "prev", "cur", "n_pair",
+                  F.round(F.log2(F.col("n_pair") * F.col("n_total") /
+                                 (F.col("c_prev") * F.col("c_cur"))), 6)
+                  .alias("pmi")))
+    return scored.orderBy(F.desc("pmi"), "prev", "cur").limit(k)

@@ -290,3 +290,88 @@ def test_lm_perplexity_partition_invariant(spark, docs):
     b = {r.doc_id: (r.n_bigrams, r.ppl)
          for r in lm_perplexity(docs.repartition(11)).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def _pmi_oracle(texts, min_count, k):
+    """Python replay of pmi_collocations: same tokenization, counts, PMI,
+    rounding, and (pmi desc, prev, cur) top-k cut."""
+    import math
+    from collections import Counter
+
+    bigrams = []
+    for t in texts:
+        tk = [w for w in (t or "").lower().split() if w]
+        bigrams += list(zip(tk, tk[1:]))
+    n_total = len(bigrams)
+    pair = Counter(bigrams)
+    c_prev = Counter(a for a, _ in bigrams)
+    c_cur = Counter(b for _, b in bigrams)
+    rows = [
+        (a, b, n, round(math.log2(n * n_total / (c_prev[a] * c_cur[b])), 6))
+        for (a, b), n in pair.items() if n >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_pmi_hand_fixture(spark):
+    from pagerank_spark.operators.textops import pmi_collocations
+
+    sp = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    got = {(r.prev, r.cur): (r.n_pair, r.pmi)
+           for r in pmi_collocations(sp, min_count=1, k=10).collect()}
+    # bigrams: (a,b)x2, (b,a), (a,c); N=4; c_prev a=3,b=1; c_cur b=2,a=1,c=1
+    import math
+    assert got == {
+        ("a", "b"): (2, round(math.log2(2 * 4 / (3 * 2)), 6)),
+        ("b", "a"): (1, 2.0),
+        ("a", "c"): (1, round(math.log2(4 / 3), 6)),
+    }
+
+
+def test_pmi_min_count_prunes_but_counts_stay_global(spark):
+    from pagerank_spark.operators.textops import pmi_collocations
+
+    sp = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    rows = pmi_collocations(sp, min_count=2, k=10).collect()
+    # only (a,b) survives, but its PMI still uses the FULL unigram counts
+    import math
+    assert [(r.prev, r.cur, r.n_pair, r.pmi) for r in rows] == [
+        ("a", "b", 2, round(math.log2(8 / 6), 6))]
+
+
+def test_pmi_matches_python_oracle_on_testdata(spark, docs):
+    from pagerank_spark.operators.textops import pmi_collocations
+
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _pmi_oracle(texts, min_count=3, k=50)
+    got = [(r.prev, r.cur, r.n_pair, r.pmi)
+           for r in pmi_collocations(docs, min_count=3, k=50).collect()]
+    assert got == want
+
+
+def test_pmi_partition_invariance_and_nulls(spark):
+    from pagerank_spark.operators.textops import pmi_collocations
+
+    sp = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, None), (3, "z"), (4, "x y w")],
+        "doc_id long, text string")
+    a = pmi_collocations(sp, min_count=1, k=10).collect()
+    b = pmi_collocations(sp.repartition(7), min_count=1, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3  # (x,y)x4 (y,x)x2 (y,w)x1 — null/1-token docs drop out
+
+
+def test_pmi_validation(spark):
+    from pagerank_spark.operators.textops import pmi_collocations
+
+    sp = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pmi_collocations(sp, min_count=0)
+    with pytest.raises(ValueError):
+        pmi_collocations(sp, k=0)
