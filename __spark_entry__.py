@@ -2412,11 +2412,12 @@ def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("r", F.lit(0.0)), 8).alias("residual")))
 
 
-def _ppr_push_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
-                  eps: float = PUSH_EPS) -> str:
-    """Dense unroll of the synchronous forward-push fixpoint; expression
-    shapes mirror ppr_push.py (active predicate, (1-α) settle, α forward,
-    dangling re-injection at the seed)."""
+def _push_parts(rounds: int, seed: int, eps: float) -> list[str]:
+    """CTE list for the dense unroll of the synchronous forward-push
+    fixpoint; expression shapes mirror ppr_push.py (active predicate,
+    (1-α) settle, α forward, dangling re-injection at the seed). Shared
+    by the ppr_push and ppr_sweep_cut oracles; the final state is
+    s{rounds}(id, p, r)."""
     parts = [
         _E_SQL, _U_SQL, _OD_SQL,
         "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
@@ -2445,9 +2446,72 @@ def _ppr_push_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
              f"FROM s{q} s LEFT JOIN a{k} a ON a.id = s.id "
              f"LEFT JOIN g{k} g ON g.id = s.id)"),
         ]
-    return ("WITH " + ",\n".join(parts)
+    return parts
+
+
+def _ppr_push_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
+                  eps: float = PUSH_EPS) -> str:
+    return ("WITH " + ",\n".join(_push_parts(rounds, seed, eps))
             + f"\nSELECT id, round(p, 8) AS p_approx, "
               f"round(r, 8) AS residual FROM s{rounds}")
+
+
+def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local community around PUSH_SEED: forward push then the ACL
+    conductance sweep (operators/sweepcut.py). Full sweep curve —
+    (k, id, p, d, volume, cut, conductance) per prefix of the
+    (p/d desc, id) support order on the undirected simple graph — so the
+    oracle checks every prefix, not just the argmin."""
+    from pagerank_spark.operators.ppr_push import ppr_push
+    from pagerank_spark.operators.sweepcut import sweep_cut
+    g = _graph(spark, sf_dir)
+    res = ppr_push(g, seed=PUSH_SEED, alpha=ALPHA, eps=PUSH_EPS,
+                   max_rounds=PUSH_ROUNDS)
+    assert res.converged, "push did not converge within max_rounds"
+    assert res.rounds <= PUSH_ROUNDS, (
+        f"push took {res.rounds} rounds > {PUSH_ROUNDS}-round oracle unroll")
+    return sweep_cut(g, res.scores)
+
+
+def _ppr_sweep_cut_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
+                       eps: float = PUSH_EPS) -> str:
+    """Push unroll (shared CTEs) + the sweep replayed in SQL: identical
+    (round(p/d, 8) DESC, id) order key, window prefix sums for volume and
+    the difference-array cut curve (sweepcut.py)."""
+    inf = 2**31 - 1
+    parts = _push_parts(rounds, seed, eps) + [
+        ("und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+         "greatest(src, dst) AS b FROM e WHERE src <> dst)"),
+        ("degu AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM und "
+         "UNION ALL SELECT b FROM und) GROUP BY id)"),
+        "m2 AS (SELECT 2 * count(*) AS v FROM und)",
+        (f"sup AS (SELECT s.id, s.p, coalesce(dg.d, 0) AS d, "
+         f"round(s.p / greatest(coalesce(dg.d, 0), 1), 8) AS ratio "
+         f"FROM s{rounds} s LEFT JOIN degu dg ON dg.id = s.id "
+         f"WHERE s.p > 0)"),
+        ("rk AS MATERIALIZED (SELECT id, p, d, "
+         "row_number() OVER (ORDER BY ratio DESC, id) AS k FROM sup)"),
+        (f"spans AS (SELECT least(coalesce(ra.k, {inf}), "
+         f"coalesce(rb.k, {inf})) AS lo, greatest(coalesce(ra.k, {inf}), "
+         f"coalesce(rb.k, {inf})) AS hi FROM und "
+         f"LEFT JOIN rk ra ON ra.id = und.a "
+         f"LEFT JOIN rk rb ON rb.id = und.b)"),
+        (f"deltas AS (SELECT k, sum(dlt) AS dlt FROM ("
+         f"SELECT lo AS k, 1 AS dlt FROM spans WHERE lo < {inf} "
+         f"UNION ALL SELECT hi, -1 FROM spans WHERE hi < {inf}) "
+         f"GROUP BY k)"),
+        ("sw AS (SELECT rk.k, rk.id, rk.p, rk.d, "
+         "sum(rk.d) OVER (ORDER BY rk.k) AS volume, "
+         "sum(coalesce(deltas.dlt, 0)) OVER (ORDER BY rk.k) AS cut "
+         "FROM rk LEFT JOIN deltas ON deltas.k = rk.k)"),
+    ]
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT k, id, round(p, 8) AS p, d, "
+              "CAST(volume AS BIGINT) AS volume, CAST(cut AS BIGINT) AS cut, "
+              "round(CASE WHEN least(volume, m2.v - volume) <= 0 THEN 0.0 "
+              "ELSE cut / CAST(least(volume, m2.v - volume) AS DOUBLE) END, "
+              "6) AS conductance "
+              "FROM sw CROSS JOIN m2 ORDER BY k")
 
 
 def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4419,7 +4483,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (documented per round-3 advice): the driver's
     # per-round correctness harness scores the FIRST 50 entries. With
-    # 110 queries, 60 go unscored every round, so the order rotates by
+    # 112 queries, 62 go unscored every round, so the order rotates by
     # evidence freshness — entries come first when they (a) are new (no
     # driver row ever — the strongest claim to a slot), (b) had their
     # implementation changed this round, or (c) were not scored last
@@ -4437,11 +4501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: last driver row is r03 (not scored by the r04 run)
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_weighted_3iter": q_pagerank_weighted_3iter,
-        "pagerank_converged": q_pagerank_converged,
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
-        "seeded_labelprop": q_seeded_labelprop,
         "triangle_count": q_triangle_count,
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
@@ -4475,8 +4537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 3: new round-5 operators (sampling/sketch trio, then
         #    the late-round additions: containment, temperature mix,
         #    frontier scheduling, URL patterns, BM25, matching, SemDeDup,
-        #    DSIR, coloring, winnowing, HLL distinct, mirror hosts, CUBE)
-        #    — fill the window to exactly 50
+        #    DSIR, coloring, winnowing, HLL distinct, mirror hosts, CUBE,
+        #    PMI collocations, ACL sweep cut) — fill the window to
+        #    exactly 50
         "priority_sample_topk": q_priority_sample,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_frontier": q_bloom_frontier,
@@ -4493,6 +4556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "mirror_hosts": q_mirror_hosts,
         "events_cube": q_events_cube,
+        "pmi_collocations": q_pmi_collocations,
+        "ppr_sweep_cut": q_ppr_sweep_cut,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4520,7 +4585,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    link_prediction in-window (the same wedge-join shape and the
         #    same capped-explode/exact dual-plan dispatch, pinned by
         #    cross-plan equivalence pytests) with coupling its direct
-        #    r03-green twin).
+        #    r03-green twin). pagerank_converged and seeded_labelprop were
+        #    displaced late in round 5 for pmi_collocations/ppr_sweep_cut
+        #    by the same rule: pagerank_converged ↔ the in-window
+        #    pagerank_3iter/_weighted/_webgraph_e2e rows (the identical
+        #    pagerank.py loop; the tol-stop path is pytest-pinned) plus
+        #    r04-green ppr_batch/pagerank_mc; seeded_labelprop ↔
+        #    label_propagation in-window + r04-green weighted_labelprop
+        #    (all three the same labelprop.py min-hash update).
+        "pagerank_converged": q_pagerank_converged,
+        "seeded_labelprop": q_seeded_labelprop,
         "triangles_per_vertex": q_triangles_per_vertex,
         "cocitation": q_cocitation,
         "neighborhood_function": q_neighborhood_function,
@@ -4583,7 +4657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "lm_perplexity": q_lm_perplexity,
         "community_conductance": q_community_conductance,
-        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4712,4 +4785,5 @@ def oracle_sql() -> dict[str, str]:
         # the splitmix64 byte generator, replicated in SQL
         "multimodal_features": _multimodal_oracle_sql(),
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "ppr_sweep_cut": _ppr_sweep_cut_sql(),
     }
