@@ -3547,6 +3547,55 @@ ORDER BY pmi DESC, prev, cur LIMIT {PMI_K}
 """
 
 
+TR_K = 150
+TR_ITERS = 3
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction by TextRank (operators/textops.py
+    textrank_keywords, Mihalcea-Tarau 2004): damped walk on the window-2
+    word co-occurrence graph, {TR_ITERS} iterations, top-{TR_K} by
+    (round(score, 6) desc, word)."""
+    from pagerank_spark.operators.textops import textrank_keywords
+    return textrank_keywords(_t(spark, sf_dir, "documents"),
+                             k=TR_K, alpha=ALPHA, iterations=TR_ITERS)
+
+
+def _textrank_sql(k: int = TR_K, iterations: int = TR_ITERS) -> str:
+    """Bigram co-occurrence graph (the PMI CTE shapes) + dense unroll of
+    the damped stochastic walk; mirrors textrank_keywords exactly
+    (row-stochastic weights, no dangling gather — the symmetric graph
+    has none)."""
+    parts = [
+        f"tkt AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents)",
+        ("bg AS (SELECT t[g.i] AS prev, t[g.i + 1] AS cur "
+         "FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g)"),
+        ("pe AS (SELECT least(prev, cur) AS a, greatest(prev, cur) AS b, "
+         "count(*) AS cnt FROM bg WHERE prev <> cur GROUP BY 1, 2)"),
+        ("de AS (SELECT a AS src, b AS dst, cnt FROM pe "
+         "UNION ALL SELECT b, a, cnt FROM pe)"),
+        "st AS (SELECT src, sum(cnt) AS s FROM de GROUP BY src)",
+        ("we AS MATERIALIZED (SELECT de.src, de.dst, "
+         "de.cnt / CAST(st.s AS DOUBLE) AS w FROM de JOIN st USING (src))"),
+        ("v AS MATERIALIZED (SELECT src AS word, s AS strength FROM st)"),
+        "nn AS (SELECT count(*) AS c FROM v)",
+        "r0 AS (SELECT word, 1.0 / nn.c AS r FROM v CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.word, "
+            f"{1.0 - ALPHA} / nn.c + {ALPHA} * coalesce(g.m, 0.0) AS r "
+            f"FROM v CROSS JOIN nn LEFT JOIN "
+            f"(SELECT we.dst AS word, sum(r{i - 1}.r * we.w) AS m "
+            f"FROM we JOIN r{i - 1} ON r{i - 1}.word = we.src "
+            f"GROUP BY we.dst) g ON g.word = v.word)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v.word, CAST(v.strength AS BIGINT) AS strength, "
+              f"round(r{iterations}.r, 6) AS score "
+              f"FROM v JOIN r{iterations} ON r{iterations}.word = v.word "
+              f"ORDER BY score DESC, v.word LIMIT {k}")
+
+
 def q_docs_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup hash-groupBy: every fingerprint group with its size (the
     synthetic docs happen to be dupe-free, so returning ALL groups keeps the
@@ -4510,7 +4559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_44": q_k_core,
         "coreness": q_coreness,
         "bowtie": q_bowtie,
-        "harmonic_centrality": q_harmonic_centrality,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -4558,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "pmi_collocations": q_pmi_collocations,
         "ppr_sweep_cut": q_ppr_sweep_cut,
+        "textrank_keywords": q_textrank_keywords,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4593,8 +4642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r04-green ppr_batch/pagerank_mc; seeded_labelprop ↔
         #    label_propagation in-window + r04-green weighted_labelprop
         #    (all three the same labelprop.py min-hash update).
+        #    harmonic_centrality was displaced for textrank_keywords:
+        #    it shares neighborhood.py's HyperANF superstep with the
+        #    r04-green distance_stats + closeness_centrality rows and the
+        #    in-window bfs_hops frontier machinery.
         "pagerank_converged": q_pagerank_converged,
         "seeded_labelprop": q_seeded_labelprop,
+        "harmonic_centrality": q_harmonic_centrality,
         "triangles_per_vertex": q_triangles_per_vertex,
         "cocitation": q_cocitation,
         "neighborhood_function": q_neighborhood_function,
@@ -4786,4 +4840,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_oracle_sql(),
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "ppr_sweep_cut": _ppr_sweep_cut_sql(),
+        "textrank_keywords": _textrank_sql(),
     }

@@ -247,6 +247,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.textops import pmi_collocations
     timed("pmi_collocations", lambda: noop(pmi_collocations(
         docs, min_count=3, k=200)))
+    from pagerank_spark.operators.textops import textrank_keywords
+    timed("textrank_keywords", lambda: noop(textrank_keywords(
+        docs, k=150)))
     from pagerank_spark.operators.dedup import passage_dedup
     timed("passage_dedup", lambda: noop(passage_dedup(docs, w=20)))
     from pagerank_spark.operators.textops import corpus_filter

@@ -471,3 +471,75 @@ def pmi_collocations(docs: DataFrame, min_count: int = 2, k: int = 100,
                                  (F.col("c_prev") * F.col("c_cur"))), 6)
                   .alias("pmi")))
     return scored.orderBy(F.desc("pmi"), "prev", "cur").limit(k)
+
+
+def textrank_keywords(docs: DataFrame, k: int = 100, alpha: float = 0.85,
+                      iterations: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level keyword extraction by TextRank (Mihalcea & Tarau,
+    "TextRank: Bringing Order into Text", EMNLP 2004): build the
+    undirected word co-occurrence graph (window = 2, i.e. adjacent-token
+    pairs — the paper's best-scoring window) weighted by co-occurrence
+    count, run the damped random walk, return the top-``k`` words.
+
+        r_{t+1}(v) = (1-alpha)/n + alpha * sum_u r_t(u) * w(u,v)/s(u)
+
+    with s(u) the total co-occurrence weight at u (so the walk matrix is
+    row-stochastic and mass is conserved — the symmetric graph has no
+    dangling vertices by construction, which is WHY this loop skips the
+    dangling-gather machinery of operators/pagerank.py while keeping its
+    J1 join + per-dst sum shapes, kernel_bblock.cu:337,219-464).
+
+    Returns ``(word, strength, score)`` ordered by (round(score, 6) desc,
+    word) — the rounding is in the sort key so the top-k boundary is the
+    same total order in any engine. Words never co-occurring with another
+    word (single-token docs) are not graph vertices and cannot rank.
+
+    Scale shape: the corpus is scanned once into the bigram pair
+    aggregate (map-side partials collapse repeats before the exchange);
+    everything after is vocab-bounded, not corpus-bounded. Each iteration
+    is one equi-join of the rank vector against the weighted edge table
+    plus one per-dst SUM whose partials absorb stopword hubs map-side
+    (the planted-hub evidence in BENCH/BASELINE.md shows SUM-shaped
+    gathers need no salting); the final top-k is TakeOrderedAndProject.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    pe = (bg.filter(F.col("prev") != F.col("cur"))
+          .select(F.least("prev", "cur").alias("a"),
+                  F.greatest("prev", "cur").alias("b"))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    de = (pe.select(F.col("a").alias("src"), F.col("b").alias("dst"), "cnt")
+          .unionByName(pe.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "cnt")))
+    strength = de.groupBy("src").agg(F.sum("cnt").alias("s"))
+    we = (de.join(strength, "src")
+          .select("src", "dst",
+                  (F.col("cnt") / F.col("s").cast("double")).alias("w"))
+          .localCheckpoint(eager=True))
+    verts = strength.select(F.col("src").alias("word"),
+                            F.col("s").alias("strength")) \
+        .localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.select("word", "strength",
+                            F.lit(0.0).alias("score")).limit(0)
+    ranks = verts.select("word", F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        inflow = (we.join(ranks.withColumnRenamed("word", "src"), "src")
+                  .groupBy("dst").agg(F.sum(F.col("r") * F.col("w"))
+                                      .alias("m"))
+                  .withColumnRenamed("dst", "word"))
+        ranks = (verts.select("word").join(inflow, "word", "left")
+                 .select("word",
+                         (F.lit((1.0 - alpha) / n) + F.lit(alpha)
+                          * F.coalesce("m", F.lit(0.0))).alias("r"))
+                 .localCheckpoint(eager=False))
+    return (verts.join(ranks, "word")
+            .select("word", "strength", F.round("r", 6).alias("score"))
+            .orderBy(F.desc("score"), "word").limit(k))

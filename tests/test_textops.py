@@ -375,3 +375,92 @@ def test_pmi_validation(spark):
         pmi_collocations(sp, min_count=0)
     with pytest.raises(ValueError):
         pmi_collocations(sp, k=0)
+
+
+# ----------------------------------------------------------- TextRank
+
+
+def _textrank_oracle(texts, k, alpha=0.85, iterations=3):
+    """Python replay: window-2 co-occurrence graph, damped walk, top-k."""
+    from collections import Counter
+
+    pairs = Counter()
+    for t in texts:
+        tk = [w for w in (t or "").lower().split() if w]
+        for a, b in zip(tk, tk[1:]):
+            if a != b:
+                pairs[(min(a, b), max(a, b))] += 1
+    strength = Counter()
+    adj = {}
+    for (a, b), c in pairs.items():
+        strength[a] += c
+        strength[b] += c
+        adj.setdefault(a, []).append((b, c))
+        adj.setdefault(b, []).append((a, c))
+    words = sorted(strength)
+    n = len(words)
+    if n == 0:
+        return []
+    r = {w: 1.0 / n for w in words}
+    for _ in range(iterations):
+        nxt = {}
+        for v in words:
+            m = sum(r[u] * c / strength[u] for u, c in adj[v])
+            nxt[v] = (1.0 - alpha) / n + alpha * m
+        r = nxt
+    rows = [(w, strength[w], round(r[w], 6)) for w in words]
+    rows.sort(key=lambda x: (-x[2], x[0]))
+    return rows[:k]
+
+
+def test_textrank_matches_python_oracle_on_testdata(spark, docs):
+    from pagerank_spark.operators.textops import textrank_keywords
+
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _textrank_oracle(texts, k=40)
+    got = [(r.word, r.strength, r.score)
+           for r in textrank_keywords(docs, k=40).collect()]
+    assert [(w, s) for w, s, _ in got] == [(w, s) for w, s, _ in want]
+    assert all(abs(a[2] - b[2]) < 2e-6 for a, b in zip(got, want))
+
+
+def test_textrank_hand_fixture_mass_and_exclusions(spark):
+    from pagerank_spark.operators.textops import textrank_keywords
+
+    sp = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo"), (3, None), (4, "x x x")],
+        "doc_id long, text string")
+    rows = textrank_keywords(sp, k=10, iterations=2).collect()
+    # graph: (a,b) cnt 3 + wait: bigrams a-b, b-a, a-b, b-c -> (a,b)x3,(b,c)x1
+    # 'solo' never co-occurs; 'x x x' is all self-pairs: both excluded
+    assert {r.word for r in rows} == {"a", "b", "c"}
+    by = {r.word: r for r in rows}
+    assert by["a"].strength == 3 and by["b"].strength == 4
+    assert by["c"].strength == 1
+    # stochastic walk on a connected graph conserves mass
+    assert abs(sum(r.score for r in rows) - 1.0) < 1e-5
+    assert rows == sorted(rows, key=lambda r: (-r.score, r.word))
+
+
+def test_textrank_partition_invariance_and_k_cut(spark, docs):
+    from pagerank_spark.operators.textops import textrank_keywords
+
+    a = [(r.word, r.strength, r.score)
+         for r in textrank_keywords(docs, k=15).collect()]
+    b = [(r.word, r.strength, r.score)
+         for r in textrank_keywords(docs.repartition(9), k=15).collect()]
+    assert a == b and len(a) == 15
+
+
+def test_textrank_empty_and_validation(spark):
+    from pagerank_spark.operators.textops import textrank_keywords
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert textrank_keywords(empty).count() == 0
+    sp = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textrank_keywords(sp, k=0)
+    with pytest.raises(ValueError):
+        textrank_keywords(sp, alpha=1.0)
+    with pytest.raises(ValueError):
+        textrank_keywords(sp, iterations=-1)
