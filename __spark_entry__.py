@@ -1282,6 +1282,61 @@ FROM d LEFT JOIN t ON t.id = d.id
 """
 
 
+PL_DMIN = 5
+
+
+def q_gamma_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-γ adjacency compression estimate per log2-out-degree bin
+    (operators/graphstats.py gamma_compression_estimate, Boldi-Vigna
+    WWW 2004): distinct successors gap-encoded, γ bits summed exactly."""
+    from pagerank_spark.operators.graphstats import \
+        gamma_compression_estimate
+    return gamma_compression_estimate(_edges(spark, sf_dir))
+
+
+SQL_GAMMA_COMPRESSION = f"""
+WITH {_E_SQL},
+d AS (SELECT DISTINCT src, dst FROM e),
+gaps AS (SELECT src, coalesce(dst - lag(dst) OVER
+         (PARTITION BY src ORDER BY dst), dst + 1) AS gap FROM d),
+ps AS (SELECT src, count(*) AS deg,
+       sum(2 * CAST(floor(log2(gap)) AS BIGINT) + 1) AS bits
+       FROM gaps GROUP BY src)
+SELECT CAST(floor(log2(deg)) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(deg) AS BIGINT) AS n_edges,
+       CAST(sum(bits) AS BIGINT) AS gamma_bits,
+       round(sum(bits) / CAST(sum(deg) AS DOUBLE), 6) AS bits_per_edge
+FROM ps GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-MLE power-law exponent of the in/out degree tails
+    (operators/graphstats.py powerlaw_tail_fit, Clauset-Shalizi-Newman
+    2009 eq. 3.1) at dmin={PL_DMIN}."""
+    from pagerank_spark.operators.graphstats import powerlaw_tail_fit
+    return powerlaw_tail_fit(_edges(spark, sf_dir), dmin=PL_DMIN)
+
+
+def _powerlaw_sql(dmin: int = PL_DMIN) -> str:
+    half = dmin - 0.5
+    branches = []
+    for deg_type, key in (("in", "dst"), ("out", "src")):
+        branches.append(
+            f"SELECT '{deg_type}' AS deg_type, {dmin} AS dmin, "
+            f"CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail, "
+            f"coalesce(sum(cnt * ln(d / {half!r})), 0.0) AS lnsum FROM "
+            f"(SELECT d, count(*) AS cnt FROM "
+            f"(SELECT count(*) AS d FROM e GROUP BY {key}) "
+            f"WHERE d >= {dmin} GROUP BY d)")
+    return (f"WITH {_E_SQL},\n"
+            + "b AS (" + " UNION ALL ".join(branches) + ")\n"
+            + "SELECT deg_type, dmin, n_tail, "
+              "round(CASE WHEN lnsum > 0 THEN 1.0 + n_tail / lnsum "
+              "ELSE 0.0 END, 6) AS alpha FROM b ORDER BY deg_type")
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed degree assortativity (exact DECIMAL moments -> one double)."""
     from pagerank_spark.operators.graphstats import degree_assortativity
@@ -4556,9 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
-        "k_core_44": q_k_core,
         "coreness": q_coreness,
-        "bowtie": q_bowtie,
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -4607,6 +4660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ppr_sweep_cut": q_ppr_sweep_cut,
         "textrank_keywords": q_textrank_keywords,
+        "gamma_compression": q_gamma_compression,
+        "powerlaw_fit": q_powerlaw_fit,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4645,10 +4700,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    harmonic_centrality was displaced for textrank_keywords:
         #    it shares neighborhood.py's HyperANF superstep with the
         #    r04-green distance_stats + closeness_centrality rows and the
-        #    in-window bfs_hops frontier machinery.
+        #    in-window bfs_hops frontier machinery. k_core_44 and bowtie
+        #    were displaced for gamma_compression/powerlaw_fit: k_core_44
+        #    ↔ coreness in-window (kcore.py's peeling IS coreness.py's
+        #    fixpoint truncated at k, pinned by the kcore-vs-coreness
+        #    equivalence pytest); bowtie ↔ the r04-green scc row (bowtie =
+        #    scc + BFS sweeps) with bfs_hops in-window.
         "pagerank_converged": q_pagerank_converged,
         "seeded_labelprop": q_seeded_labelprop,
         "harmonic_centrality": q_harmonic_centrality,
+        "k_core_44": q_k_core,
+        "bowtie": q_bowtie,
         "triangles_per_vertex": q_triangles_per_vertex,
         "cocitation": q_cocitation,
         "neighborhood_function": q_neighborhood_function,
@@ -4841,4 +4903,6 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "ppr_sweep_cut": _ppr_sweep_cut_sql(),
         "textrank_keywords": _textrank_sql(),
+        "gamma_compression": SQL_GAMMA_COMPRESSION,
+        "powerlaw_fit": _powerlaw_sql(),
     }

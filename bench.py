@@ -203,6 +203,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("bowtie_8h",
           lambda: noop(bowtie_decomposition(edges, max_hops=8).regions))
     timed("avg_neighbor_degree", lambda: noop(avg_neighbor_degree(edges)))
+    from pagerank_spark.operators.graphstats import (
+        gamma_compression_estimate, powerlaw_tail_fit)
+    timed("gamma_compression", lambda: noop(
+        gamma_compression_estimate(edges)))
+    timed("powerlaw_fit", lambda: noop(powerlaw_tail_fit(edges, dmin=5)))
     timed("degree_distribution", lambda: noop(degree_distribution(
         edges, universe=g.vertices.select("id"))))
     from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch

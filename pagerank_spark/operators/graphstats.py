@@ -177,3 +177,92 @@ def degree_quantiles(edges: DataFrame, universe: DataFrame | None = None,
                         .alias(f"{side}_{tag}"))
         aggs.append(F.max(col).alias(f"{side}_max"))
     return degs.agg(*aggs)
+
+
+def gamma_compression_estimate(edges: DataFrame) -> DataFrame:
+    """Estimated Elias-γ cost of the successor lists, per log2-out-degree
+    bin — the storage model of the WebGraph framework (Boldi & Vigna,
+    "The WebGraph Framework I: Compression Techniques", WWW 2004): each
+    src's DISTINCT successors are sorted and gap-encoded (head gap =
+    dst+1, then consecutive differences), and every gap g >= 1 costs
+    ``2*floor(log2(g)) + 1`` bits under the γ code. (The real codec adds
+    reference-copying and interval blocks on top; the γ-gap bound is the
+    standard first-order estimate of how compressible a crawl's link
+    structure is — locality-renumbered graphs show small gaps here.)
+
+    Returns one row per bin ``(bin, n_lists, n_edges, gamma_bits,
+    bits_per_edge)`` with bin = floor(log2(out_deg)); all bit counts are
+    exact integers (γ length is integer arithmetic on integer gaps — the
+    one log2 is evaluated on exact powers-of-two boundaries only at
+    integer inputs, identical in any IEEE engine), so the whole table is
+    hash-checkable; the single double, bits_per_edge, is a final-projection
+    division rounded to 6.
+
+    Scale shape: one distinct pass, then ONE per-src window (lag over the
+    dst sort — gap encoding is inherently sequential per list) and one
+    binned hash aggregate. A mega-hub makes its list a single window task;
+    that is the adjacency_index shape, and the degree-adaptive banded
+    rewrite recorded in walks.py:34-130 applies verbatim if a profiled
+    input needs it (gaps are band-local except one boundary join).
+    """
+    d = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = d.select(
+        "src",
+        F.coalesce(F.col("dst") - F.lag("dst").over(w),
+                   F.col("dst") + F.lit(1)).alias("gap"))
+    per_src = gaps.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(F.lit(2) * F.floor(F.log2("gap")).cast("long") + F.lit(1))
+        .alias("bits"))
+    return (per_src
+            .select(F.floor(F.log2("deg")).cast("int").alias("bin"),
+                    "deg", "bits")
+            .groupBy("bin").agg(
+                F.count(F.lit(1)).alias("n_lists"),
+                F.sum("deg").alias("n_edges"),
+                F.sum("bits").alias("gamma_bits"))
+            .select("bin", "n_lists", "n_edges", "gamma_bits",
+                    F.round(F.col("gamma_bits")
+                            / F.col("n_edges").cast("double"), 6)
+                    .alias("bits_per_edge"))
+            .orderBy("bin"))
+
+
+def powerlaw_tail_fit(edges: DataFrame, dmin: int = 5) -> DataFrame:
+    """Hill / continuous-MLE power-law exponent of the degree tails
+    (Clauset, Shalizi, Newman, "Power-law distributions in empirical
+    data", SIAM Review 2009, eq. 3.1):
+
+        alpha = 1 + n_tail / Σ_{d >= dmin} ln( d / (dmin - 0.5) )
+
+    fitted separately to the in- and out-degree distributions of the
+    multigraph. Web-crawl degree tails are the canonical power law
+    (alpha ~ 2.1 in-degree on the 2001 web) and the exponent decides
+    whether hub-salting is worth wiring in. Returns
+    ``(deg_type, dmin, n_tail, alpha)``, alpha rounded to 6 (0.0 when the
+    tail is empty or degenerate). The ln-sum is aggregated over the
+    DISTINCT-degree histogram (cnt · ln d), so the double reduction runs
+    over at most #distinct-degrees terms, not n_tail.
+    """
+    if dmin < 2:
+        raise ValueError(f"dmin must be >= 2 (needs dmin - 0.5 > 1): {dmin}")
+    out = []
+    for deg_type, key in (("in", "dst"), ("out", "src")):
+        hist = (edges.groupBy(F.col(key).alias("id"))
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= dmin)
+                .groupBy("d").agg(F.count(F.lit(1)).alias("cnt")))
+        out.append(hist.agg(
+            F.lit(deg_type).alias("deg_type"),
+            F.lit(dmin).alias("dmin"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tail"),
+            F.coalesce(F.sum(F.col("cnt")
+                             * F.log(F.col("d") / F.lit(dmin - 0.5))),
+                       F.lit(0.0)).alias("lnsum")))
+    both = out[0].unionByName(out[1])
+    return both.select(
+        "deg_type", "dmin", "n_tail",
+        F.round(F.when(F.col("lnsum") > 0,
+                       F.lit(1.0) + F.col("n_tail") / F.col("lnsum"))
+                .otherwise(F.lit(0.0)), 6).alias("alpha")).orderBy("deg_type")

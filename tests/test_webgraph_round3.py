@@ -285,3 +285,120 @@ def test_conductance_whole_graph_is_zero_and_singletons(spark):
     got = {r.label: r for r in conductance(edges, some).collect()}
     assert got[1].n_vertices == 1 and got[1].cut == 2
     assert got[1].conductance == pytest.approx(1.0)
+
+
+# ------------------------------------------------- gamma compression
+
+
+def _gamma_oracle(edges):
+    """Python replay: distinct sorted successor lists, gap gamma bits,
+    log2-degree binning."""
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    bins = defaultdict(lambda: [0, 0, 0])
+    for s, ds in adj.items():
+        sd = sorted(ds)
+        gaps = [sd[0] + 1] + [b - a for a, b in zip(sd, sd[1:])]
+        bits = sum(2 * int(math.floor(math.log2(g))) + 1 for g in gaps)
+        b = int(math.floor(math.log2(len(sd))))
+        bins[b][0] += 1
+        bins[b][1] += len(sd)
+        bins[b][2] += bits
+    return sorted((b, nl, ne, gb, round(gb / ne, 6))
+                  for b, (nl, ne, gb) in bins.items())
+
+
+def test_gamma_estimate_matches_python_oracle(spark):
+    import random
+
+    from pagerank_spark.operators.graphstats import \
+        gamma_compression_estimate
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(40), rng.randrange(900)) for _ in range(500)]
+    # duplicates must collapse before encoding
+    edges += edges[:60]
+    got = [(r.bin, r.n_lists, r.n_edges, r.gamma_bits, r.bits_per_edge)
+           for r in gamma_compression_estimate(
+               spark.createDataFrame(edges, "src long, dst long")).collect()]
+    assert got == _gamma_oracle(edges)
+
+
+def test_gamma_estimate_hand_values(spark):
+    from pagerank_spark.operators.graphstats import \
+        gamma_compression_estimate
+
+    # src 0 -> {0, 1, 9}: gaps 1,1,8 -> bits 1+1+7=9; bin=floor(log2 3)=1
+    # src 1 -> {4}: gap 5 -> bits 5; bin 0
+    rows = gamma_compression_estimate(spark.createDataFrame(
+        [(0, 9), (0, 0), (0, 1), (1, 4)], "src long, dst long")).collect()
+    got = {r.bin: (r.n_lists, r.n_edges, r.gamma_bits) for r in rows}
+    assert got == {0: (1, 1, 5), 1: (1, 3, 9)}
+
+
+def test_gamma_estimate_locality_compresses_better(spark):
+    from pagerank_spark.operators.graphstats import \
+        gamma_compression_estimate
+
+    local = [(s, s * 10 + i) for s in range(20) for i in range(8)]
+    spread = [(s, s + 997 * i) for s in range(20) for i in range(8)]
+    bits = {}
+    for name, ed in (("local", local), ("spread", spread)):
+        r = gamma_compression_estimate(spark.createDataFrame(
+            ed, "src long, dst long")).collect()
+        bits[name] = sum(x.gamma_bits for x in r) / sum(x.n_edges for x in r)
+    assert bits["local"] < bits["spread"]
+
+
+# --------------------------------------------------- power-law fit
+
+
+def test_powerlaw_fit_recovers_planted_alpha(spark):
+    import math
+    import random
+
+    from pagerank_spark.operators.graphstats import powerlaw_tail_fit
+
+    # plant in-degrees from a discrete power law via inverse transform:
+    # d = floor(dmin * u^(-1/(alpha-1))) has Hill-MLE alpha ~ alpha
+    rng = random.Random(7)
+    alpha, dmin = 2.5, 5
+    edges = []
+    nxt = 0
+    for v in range(400):
+        d = min(int(dmin * rng.random() ** (-1.0 / (alpha - 1))), 400)
+        for _ in range(d):
+            edges.append((nxt, v))
+            nxt += 1
+    res = {r.deg_type: r for r in powerlaw_tail_fit(
+        spark.createDataFrame(edges, "src long, dst long"),
+        dmin=dmin).collect()}
+    assert res["in"].n_tail == 400
+    assert abs(res["in"].alpha - alpha) < 0.25
+    # every src has out-degree 1 < dmin: empty tail -> alpha 0.0
+    assert res["out"].n_tail == 0 and res["out"].alpha == 0.0
+
+    # exact Hill replay on the same degrees
+    degs = {}
+    for _, v in edges:
+        degs[v] = degs.get(v, 0) + 1
+    tail = [d for d in degs.values() if d >= dmin]
+    want = 1.0 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+    assert res["in"].alpha == pytest.approx(want, abs=2e-6)
+
+
+def test_powerlaw_fit_validation_and_partition_invariance(spark):
+    from pagerank_spark.operators.graphstats import powerlaw_tail_fit
+
+    ed = spark.createDataFrame(
+        [(i % 11, (i * 7) % 23) for i in range(300)], "src long, dst long")
+    with pytest.raises(ValueError):
+        powerlaw_tail_fit(ed, dmin=1)
+    a = [tuple(r) for r in powerlaw_tail_fit(ed, dmin=3).collect()]
+    b = [tuple(r) for r in powerlaw_tail_fit(
+        ed.repartition(13), dmin=3).collect()]
+    assert a == b
