@@ -2839,6 +2839,43 @@ FROM g GROUP BY user_id
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_MS = 24 * 3600 * 1000   # 150 -> 60 -> 25 users at sf0.01
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators/funnel.py): greedy-
+    earliest per-user sequence matching with 24-hour telescoping step
+    windows (exact for per-step windows — see the module docstring's
+    exchange argument)."""
+    from pagerank_spark.operators.funnel import funnel
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS,
+                  step_window_ms=FUNNEL_WINDOW_MS)
+
+
+def _events_funnel_sql(steps: list[str] = FUNNEL_STEPS,
+                       window_ms: int = FUNNEL_WINDOW_MS) -> str:
+    parts = [(f"s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t FROM events "
+              f"WHERE event_type = '{steps[0]}' GROUP BY user_id)")]
+    for i, st in enumerate(steps[1:], start=2):
+        q = i - 1
+        parts.append(
+            f"s{i} AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t "
+            f"FROM events e JOIN s{q} ON s{q}.user_id = e.user_id "
+            f"WHERE e.event_type = '{st}' AND epoch_ms(e.ts) > s{q}.t "
+            f"AND epoch_ms(e.ts) - s{q}.t <= {window_ms} "
+            f"GROUP BY e.user_id)")
+    unions = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{st}' AS event_type, count(*) AS n "
+        f"FROM s{i + 1}" for i, st in enumerate(steps))
+    parts.append(f"c AS ({unions})")
+    parts.append("n1 AS (SELECT n FROM c WHERE step = 1)")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT step, event_type, CAST(c.n AS BIGINT) AS n_users, "
+              "round(c.n / CAST(n1.n AS DOUBLE), 6) AS conversion "
+              "FROM c CROSS JOIN n1 WHERE c.n > 0 ORDER BY step")
+
+
 def q_customers_without_urgent_orders(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """Anti-join / EXCEPT surface. The predicate ('no 1-URGENT order')
@@ -4608,7 +4645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_webgraph_e2e": q_pagerank_webgraph_e2e,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
-        "triangle_count": q_triangle_count,
         "hits_3iter": q_hits_3iter,
         "bfs_hops": q_bfs_hops,
         "coreness": q_coreness,
@@ -4662,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "gamma_compression": q_gamma_compression,
         "powerlaw_fit": q_powerlaw_fit,
+        "events_funnel": q_events_funnel,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4705,8 +4742,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ↔ coreness in-window (kcore.py's peeling IS coreness.py's
         #    fixpoint truncated at k, pinned by the kcore-vs-coreness
         #    equivalence pytest); bowtie ↔ the r04-green scc row (bowtie =
-        #    scc + BFS sweeps) with bfs_hops in-window.
+        #    scc + BFS sweeps) with bfs_hops in-window. triangle_count was
+        #    displaced for events_funnel: it shares triangles.py's
+        #    ordered-wedge enumeration with the r04-green
+        #    clustering_coefficient row and the in-window k_truss edge
+        #    support counts.
         "pagerank_converged": q_pagerank_converged,
+        "triangle_count": q_triangle_count,
         "seeded_labelprop": q_seeded_labelprop,
         "harmonic_centrality": q_harmonic_centrality,
         "k_core_44": q_k_core,
@@ -4905,4 +4947,5 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_sql(),
         "gamma_compression": SQL_GAMMA_COMPRESSION,
         "powerlaw_fit": _powerlaw_sql(),
+        "events_funnel": _events_funnel_sql(),
     }

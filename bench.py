@@ -237,6 +237,7 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("events_hourly_rollup", lambda: noop(entry.q_events_hourly_rollup(spark, sf_dir)))
     timed("events_sessionization",
           lambda: noop(entry.q_events_sessionization(spark, sf_dir)))
+    timed("events_funnel", lambda: noop(entry.q_events_funnel(spark, sf_dir)))
     timed("hll_distinct", lambda: noop(entry.q_hll_distinct(spark, sf_dir)))
     timed("events_cube", lambda: noop(entry.q_events_cube(spark, sf_dir)))
 
