@@ -2839,6 +2839,40 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): every purchase event gets
+    the user's latest click at-or-before it. Clicks pre-aggregate to
+    unique (user, ts) per the operator's determinism contract; the oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
+    implementation of the semantics, not a replay of ours."""
+    from pagerank_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", ms.alias("ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", ms.alias("ts"))
+              .agg(F.max("value").alias("click_value")))
+    res = asof_join(purchases, clicks, on="user_id")
+    return res.select(
+        "event_id", "user_id", "ts",
+        F.col("click_value_r"), F.col("ts_r"),
+        (F.col("ts") - F.col("ts_r")).alias("gap_ms")).orderBy("event_id")
+
+
+SQL_EVENTS_ASOF_CLICK = """
+WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_ms(ts) AS ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_value AS click_value_r, c.ts AS ts_r,
+       p.ts - c.ts AS gap_ms
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_MS = 24 * 3600 * 1000   # 150 -> 60 -> 25 users at sf0.01
 
@@ -4651,7 +4685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_contraction": q_graph_contraction,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
-        "salsa_3iter": q_salsa_3iter,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
@@ -4699,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gamma_compression": q_gamma_compression,
         "powerlaw_fit": q_powerlaw_fit,
         "events_funnel": q_events_funnel,
+        "events_asof_click": q_events_asof_click,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4746,8 +4780,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced for events_funnel: it shares triangles.py's
         #    ordered-wedge enumeration with the r04-green
         #    clustering_coefficient row and the in-window k_truss edge
-        #    support counts.
+        #    support counts. salsa_3iter was displaced for
+        #    events_asof_click: it lives in hits.py sharing the
+        #    alternating hub/authority double-gather with the in-window
+        #    hits_3iter row, and its host-projection input shape is
+        #    in-window via host_pagerank_3iter.
         "pagerank_converged": q_pagerank_converged,
+        "salsa_3iter": q_salsa_3iter,
         "triangle_count": q_triangle_count,
         "seeded_labelprop": q_seeded_labelprop,
         "harmonic_centrality": q_harmonic_centrality,
@@ -4948,4 +4987,5 @@ def oracle_sql() -> dict[str, str]:
         "gamma_compression": SQL_GAMMA_COMPRESSION,
         "powerlaw_fit": _powerlaw_sql(),
         "events_funnel": _events_funnel_sql(),
+        "events_asof_click": SQL_EVENTS_ASOF_CLICK,
     }

@@ -238,6 +238,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("events_sessionization",
           lambda: noop(entry.q_events_sessionization(spark, sf_dir)))
     timed("events_funnel", lambda: noop(entry.q_events_funnel(spark, sf_dir)))
+    timed("events_asof_click",
+          lambda: noop(entry.q_events_asof_click(spark, sf_dir)))
     timed("hll_distinct", lambda: noop(entry.q_hll_distinct(spark, sf_dir)))
     timed("events_cube", lambda: noop(entry.q_events_cube(spark, sf_dir)))
 
