@@ -272,6 +272,13 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("mirror_hosts", lambda: noop(mirror_hosts(docs)))
     from pagerank_spark.operators.winnow import winnow_candidates
     timed("winnow_dedup", lambda: noop(winnow_candidates(docs)))
+    from pagerank_spark.operators.ranking import bm25_topk
+    timed("bm25_topk", lambda: noop(bm25_topk(
+        docs, ["agg", "dup", "window"], k=25)))
+    from pagerank_spark.operators.matching import maximal_matching
+    timed("maximal_matching", lambda: noop(maximal_matching(edges).edges))
+    from pagerank_spark.operators.semdedup import semantic_dedup
+    timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

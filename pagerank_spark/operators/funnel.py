@@ -66,7 +66,12 @@ def funnel(events: DataFrame, steps: Sequence[str],
         tagged.append(frontier.select(F.lit(i).alias("step"), "user_id"))
 
     all_steps = reduce(DataFrame.unionByName, tagged)
-    counts = all_steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+    # the <= len(steps)-row count table feeds BOTH the output and the
+    # step-1 denominator; checkpointing it keeps the O(events) frontier
+    # chain from being computed twice
+    counts = (all_steps.groupBy("step")
+              .agg(F.count(F.lit(1)).alias("n_users"))
+              .localCheckpoint(eager=False))
     names = events.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)],
         "step int, event_type string")
