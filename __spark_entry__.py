@@ -1337,6 +1337,76 @@ def _powerlaw_sql(dmin: int = PL_DMIN) -> str:
               "ELSE 0.0 END, 6) AS alpha FROM b ORDER BY deg_type")
 
 
+PART_K = 8
+PART_ROUNDS = 4
+PART_SLACK = 1.05
+
+
+def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spinner-style balanced partitioning (operators/partition.py):
+    penalized LPA with parity-staggered, capacity-admitted moves;
+    the full (id, partition) assignment after {PART_ROUNDS} rounds is
+    hash-checked, so the oracle pins every round's score, gate, and
+    admission rank."""
+    from pagerank_spark.operators.partition import balanced_partition
+    return (balanced_partition(_edges(spark, sf_dir), k=PART_K,
+                               rounds=PART_ROUNDS, slack=PART_SLACK)
+            .orderBy("id"))
+
+
+def _balanced_partition_sql(k: int = PART_K, rounds: int = PART_ROUNDS,
+                            slack: float = PART_SLACK) -> str:
+    """Dense unroll of the admission-capped penalized-LPA rounds;
+    expression shapes mirror partition.py (penalty product, parity gate,
+    strict improvement, (gain desc, id) admission rank vs remaining
+    capacity)."""
+    parts = [
+        _E_SQL, _U_SQL,
+        ("und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+         "greatest(src, dst) AS b FROM e WHERE src <> dst)"),
+        ("adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM und "
+         "UNION ALL SELECT b, a FROM und)"),
+        (f"capc AS (SELECT CAST(ceil(count(*) * {slack!r} / {k}) "
+         f"AS DOUBLE) AS c FROM u)"),
+        (f"s0 AS MATERIALIZED (SELECT id, CAST(id % {k} AS INT) AS p "
+         f"FROM u)"),
+    ]
+    for r in range(rounds):
+        parts += [
+            (f"ld{r} AS MATERIALIZED (SELECT p, count(*) AS load "
+             f"FROM s{r} GROUP BY p)"),
+            (f"cd{r} AS (SELECT adj.id, a.p, count(*) AS cnt FROM adj "
+             f"JOIN s{r} a ON a.id = adj.nb GROUP BY adj.id, a.p)"),
+            (f"sc{r} AS MATERIALIZED (SELECT c.id, c.p, "
+             f"c.cnt * (1.0 - coalesce(l.load, 0) / capc.c) AS score "
+             f"FROM cd{r} c LEFT JOIN ld{r} l ON l.p = c.p "
+             f"CROSS JOIN capc)"),
+            (f"bs{r} AS (SELECT id, p AS bp, score FROM "
+             f"(SELECT s.*, row_number() OVER (PARTITION BY id "
+             f"ORDER BY score DESC, p) AS rk FROM sc{r} s) WHERE rk = 1)"),
+            (f"cu{r} AS (SELECT s.id, s.score AS cur_score FROM sc{r} s "
+             f"JOIN s{r} a ON a.id = s.id AND a.p = s.p)"),
+            (f"mv{r} AS (SELECT a.id, b.bp, "
+             f"b.score - coalesce(c.cur_score, 0.0) AS gain "
+             f"FROM s{r} a JOIN bs{r} b ON b.id = a.id "
+             f"LEFT JOIN cu{r} c ON c.id = a.id "
+             f"WHERE (a.id + {r}) % 2 = 0 "
+             f"AND b.score > coalesce(c.cur_score, 0.0) "
+             f"AND b.bp <> a.p)"),
+            (f"ad{r} AS MATERIALIZED (SELECT id, bp FROM "
+             f"(SELECT m.id, m.bp, coalesce(l.load, 0) AS ld, "
+             f"row_number() OVER (PARTITION BY m.bp "
+             f"ORDER BY m.gain DESC, m.id) AS rk "
+             f"FROM mv{r} m LEFT JOIN ld{r} l ON l.p = m.bp) "
+             f"CROSS JOIN capc WHERE rk <= capc.c - ld)"),
+            (f"s{r + 1} AS MATERIALIZED (SELECT a.id, "
+             f"CAST(coalesce(ad.bp, a.p) AS INT) AS p FROM s{r} a "
+             f"LEFT JOIN ad{r} ad ON ad.id = a.id)"),
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, p AS partition FROM s{rounds} ORDER BY id")
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed degree assortativity (exact DECIMAL moments -> one double)."""
     from pagerank_spark.operators.graphstats import degree_assortativity
@@ -4683,7 +4753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "coreness": q_coreness,
         "graph_contraction": q_graph_contraction,
-        "host_pagerank_3iter": q_host_pagerank_3iter,
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -4733,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_fit": q_powerlaw_fit,
         "events_funnel": q_events_funnel,
         "events_asof_click": q_events_asof_click,
+        "balanced_partition": q_balanced_partition,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4784,8 +4854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    events_asof_click: it lives in hits.py sharing the
         #    alternating hub/authority double-gather with the in-window
         #    hits_3iter row, and its host-projection input shape is
-        #    in-window via host_pagerank_3iter.
+        #    in-window via host_pagerank_3iter's r03-green row.
+        #    host_pagerank_3iter was displaced for balanced_partition: it
+        #    is exactly graph_contraction ∘ weighted pagerank, and BOTH
+        #    factors are in-window (graph_contraction,
+        #    pagerank_weighted_3iter) with its own r03-green row standing.
         "pagerank_converged": q_pagerank_converged,
+        "host_pagerank_3iter": q_host_pagerank_3iter,
         "salsa_3iter": q_salsa_3iter,
         "triangle_count": q_triangle_count,
         "seeded_labelprop": q_seeded_labelprop,
@@ -4988,4 +5063,5 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_fit": _powerlaw_sql(),
         "events_funnel": _events_funnel_sql(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
+        "balanced_partition": _balanced_partition_sql(),
     }

@@ -208,6 +208,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("gamma_compression", lambda: noop(
         gamma_compression_estimate(edges)))
     timed("powerlaw_fit", lambda: noop(powerlaw_tail_fit(edges, dmin=5)))
+    from pagerank_spark.operators.partition import balanced_partition
+    timed("balanced_partition", lambda: noop(balanced_partition(
+        edges, k=8, rounds=4)))
     timed("degree_distribution", lambda: noop(degree_distribution(
         edges, universe=g.vertices.select("id"))))
     from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch
