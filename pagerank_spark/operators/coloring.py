@@ -95,9 +95,20 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 60,
     # conflict test and shrinks with the active set
     all_e = sym.localCheckpoint(eager=True)
     active_e = all_e
-    colored: DataFrame | None = None
+    # append-only colour state (the landmark_bfs visited-layers fix):
+    # each round checkpoints ONLY its batch; consumers union the cached
+    # batches lazily instead of rewriting the O(V) coloured set per round
+    batches: list[DataFrame] = []
     rounds, converged = 0, False
     spark = edges.sparkSession
+
+    def colored_view() -> DataFrame | None:
+        if not batches:
+            return None
+        out = batches[0]
+        for b in batches[1:]:
+            out = out.unionByName(b)
+        return out
 
     for r in range(max_rounds):
         if active_v.isEmpty():
@@ -105,6 +116,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 60,
             break
         rounds = r + 1
         # tentative colour: mex over already-coloured neighbours
+        colored = colored_view()
         if colored is None:
             tent = active_v.select("id", F.lit(0).alias("c"))
         else:
@@ -129,9 +141,9 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 60,
                   .select(F.col("a").alias("id")).distinct())
         batch = (tent.join(losers, "id", "left_anti")
                  .select("id", F.col("c").cast("int").alias("color"),
-                         F.lit(r).cast("int").alias("round")))
-        colored = (batch if colored is None
-                   else colored.unionByName(batch)).localCheckpoint(eager=True)
+                         F.lit(r).cast("int").alias("round"))
+                 .localCheckpoint(eager=True))
+        batches.append(batch)
         gone = batch.select("id")
         active_v = active_v.join(gone, "id", "left_anti"
                                  ).localCheckpoint(eager=True)
@@ -142,6 +154,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 60,
     else:
         converged = active_v.isEmpty()
 
+    colored = colored_view()
     if colored is None:
         colored = spark.createDataFrame([], "id long, color int, round int")
     n_colors = colored.agg(F.countDistinct("color")).first()[0] or 0
