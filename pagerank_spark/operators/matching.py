@@ -89,8 +89,10 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> MatchingResult:
                         & (F.col("p") == F.col("mb")))
                 .select("a", "b", F.lit(r).alias("round")))
         batch = wins.localCheckpoint(eager=True)
+        # append-only: the matched union is only read after the loop —
+        # assemble it lazily from the checkpointed batches
         matched = (batch if matched is None
-                   else matched.unionByName(batch).localCheckpoint(eager=True))
+                   else matched.unionByName(batch))
         gone = (batch.select(F.col("a").alias("v"))
                 .unionAll(batch.select(F.col("b").alias("v"))).distinct())
         active = (active

@@ -93,11 +93,15 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40,
         # winners' neighbours deactivate without joining the MIS
         losers = (active_e.join(winners.withColumnRenamed("id", "a"), "a")
                   .select(F.col("b").alias("id")).distinct())
+        # append-only: only the round's batch is checkpointed (it feeds
+        # the active-set anti-joins); the decided union is assembled
+        # lazily at the end instead of being rewritten every round
         batch = (winners.select("id", F.lit(True).alias("in_mis"))
                  .unionByName(losers.select("id", F.lit(False).alias("in_mis")))
-                 .select("id", "in_mis", F.lit(r).alias("round")))
+                 .select("id", "in_mis", F.lit(r).alias("round"))
+                 .localCheckpoint(eager=True))
         decided = (batch if decided is None
-                   else decided.unionByName(batch)).localCheckpoint(eager=True)
+                   else decided.unionByName(batch))
         gone = batch.select("id")
         active_v = active_v.join(gone, "id", "left_anti"
                                  ).localCheckpoint(eager=True)

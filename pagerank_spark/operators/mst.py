@@ -85,13 +85,16 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str | None = None,
                   .select("c", F.col("m.k").alias("k"),
                           F.col("m.other").alias("s"))
                   .localCheckpoint(eager=True))
-        chosen = picked.select("k.a", "k.b", "k.w").distinct()
+        chosen = picked.select("k.a", "k.b", "k.w").distinct() \
+            .localCheckpoint(eager=True)
         if chosen.isEmpty():
             converged = True
             break
         rounds += 1
+        # append-only: the forest union is only read after the loop —
+        # assemble it lazily from the checkpointed per-round choices
         forest = (chosen if forest is None
-                  else forest.unionByName(chosen)).localCheckpoint(eager=True)
+                  else forest.unionByName(chosen))
         # contract: the chosen graph is FUNCTIONAL (each component picked
         # exactly one edge; succ chains strictly decrease in (w, a, b)
         # until a mutual 2-cycle), so the contraction is pointer DOUBLING
