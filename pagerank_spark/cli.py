@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "bowtie", "closeness", "ktruss", "cocitation",
                             "mcpagerank", "node2vec", "seededlp", "katz",
                             "redirects", "eigenvector", "sssp", "mis", "mst",
-                            "densest"],
+                            "densest", "matching", "coloring", "partition",
+                            "pprpush", "sweepcut"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -199,6 +200,34 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         out = res.best_vertices
         tail = (f"rounds={res.rounds} best_round={res.best_round} "
                 f"best_density={res.best_density:.3f}")
+    elif args.algo == "matching":
+        from pagerank_spark.operators.matching import maximal_matching
+        res = maximal_matching(edges, max_rounds=args.max_iteration)
+        out, tail = res.edges, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "coloring":
+        from pagerank_spark.operators.coloring import greedy_coloring
+        res = greedy_coloring(edges, max_rounds=args.max_iteration,
+                              universe=universe)
+        out = res.colors
+        tail = (f"rounds={res.rounds} n_colors={res.n_colors} "
+                f"converged={res.converged}")
+    elif args.algo == "partition":
+        from pagerank_spark.operators.partition import balanced_partition
+        out = balanced_partition(edges, k=max(args.k, 2),
+                                 rounds=args.max_iteration)
+        tail = f"k={max(args.k, 2)} rounds={args.max_iteration}"
+    elif args.algo == "pprpush":
+        from pagerank_spark.operators.ppr_push import ppr_push
+        res = ppr_push(graph, seed=int(args.source.split(",")[0]),
+                       alpha=args.alpha, max_rounds=args.max_iteration)
+        out, tail = res.scores, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "sweepcut":
+        from pagerank_spark.operators.ppr_push import ppr_push
+        from pagerank_spark.operators.sweepcut import sweep_cut
+        res = ppr_push(graph, seed=int(args.source.split(",")[0]),
+                       alpha=args.alpha, max_rounds=args.max_iteration)
+        out = sweep_cut(graph, res.scores)
+        tail = f"push_rounds={res.rounds} converged={res.converged}"
     elif args.algo == "anf":
         from pagerank_spark.operators.neighborhood import (
             distance_stats, neighborhood_function_hll)

@@ -212,6 +212,12 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("katz", [], {"id", "katz"}),
     ("eigenvector", [], {"id", "eig"}),
     ("sssp", ["--source", "0,3"], {"id", "dist"}),
+    ("matching", [], {"a", "b", "round"}),
+    ("coloring", [], {"id", "color", "round"}),
+    ("partition", ["--k", "2"], {"id", "partition"}),
+    ("pprpush", ["--source", "0"], {"id", "p", "r"}),
+    ("sweepcut", ["--source", "0"],
+     {"k", "id", "p", "d", "volume", "cut", "conductance"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
