@@ -2639,6 +2639,53 @@ def _ppr_sweep_cut_sql(rounds: int = PUSH_ROUNDS, seed: int = PUSH_SEED,
               "FROM sw CROSS JOIN m2 ORDER BY k")
 
 
+HK_T = 2.0
+HK_TERMS = 8
+
+
+def q_heat_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated heat-kernel diffusion from the uniform distribution
+    (operators/diffusion.py, Chung PNAS 2007): Poisson-weighted walk
+    series, dangling mass re-injected ∝ s, {HK_TERMS} terms at
+    t={HK_T}."""
+    from pagerank_spark.operators.diffusion import heat_kernel_pagerank
+    g = _graph(spark, sf_dir)
+    return heat_kernel_pagerank(g, t=HK_T, terms=HK_TERMS)
+
+
+def _heat_kernel_sql(t: float = HK_T, terms: int = HK_TERMS) -> str:
+    """Dense unroll of the truncated series; the Poisson coefficients are
+    the SAME Python floats the operator inlines (heat_coefficients), so
+    both engines run identical literal arithmetic."""
+    from pagerank_spark.operators.diffusion import heat_coefficients
+    cs = heat_coefficients(t, terms)
+    parts = [
+        _E_SQL, _U_SQL, _OD_SQL,
+        "we AS (SELECT e.src, e.dst, 1.0 / od.c AS w FROM e JOIN od ON od.id = e.src)",
+        "dang AS (SELECT u.id FROM u LEFT JOIN od ON od.id = u.id WHERE od.c IS NULL)",
+        "nn AS (SELECT count(*) AS c FROM u)",
+        ("x0 AS MATERIALIZED (SELECT id, 1.0 / nn.c AS x "
+         "FROM u CROSS JOIN nn)"),
+    ]
+    for j in range(1, terms + 1):
+        q = j - 1
+        parts += [
+            (f"d{q} AS (SELECT coalesce(sum(x.x), 0.0) AS d FROM x{q} x "
+             f"JOIN dang ON dang.id = x.id)"),
+            (f"g{q} AS (SELECT we.dst AS id, sum(x.x * we.w) AS m "
+             f"FROM we JOIN x{q} x ON x.id = we.src GROUP BY we.dst)"),
+            (f"x{j} AS MATERIALIZED (SELECT u.id, "
+             f"coalesce(g.m, 0.0) + d{q}.d * (1.0 / nn.c) AS x "
+             f"FROM u CROSS JOIN nn CROSS JOIN d{q} "
+             f"LEFT JOIN g{q} g ON g.id = u.id)"),
+        ]
+    series = " + ".join(f"{cs[j]!r} * x{j}.x" for j in range(terms + 1))
+    joins = " ".join(f"JOIN x{j} ON x{j}.id = u.id"
+                     for j in range(terms + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT u.id, round({series}, 8) AS hk FROM u {joins}")
+
+
 def q_streaming_edge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming link ingestion (streaming/ingest.py): synth pages land in
     two micro-batches, outlinks extracted per batch with the shared pandas
@@ -4757,7 +4804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
-        "lpa_modularity": q_lpa_modularity,
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
@@ -4803,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_asof_click": q_events_asof_click,
         "balanced_partition": q_balanced_partition,
+        "heat_kernel": q_heat_kernel,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4859,7 +4906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    is exactly graph_contraction ∘ weighted pagerank, and BOTH
         #    factors are in-window (graph_contraction,
         #    pagerank_weighted_3iter) with its own r03-green row standing.
+        #    lpa_modularity was displaced for heat_kernel: its LP chain is
+        #    label_propagation (in-window) and its modularity sums share
+        #    community.py with the r04-green community_conductance row.
         "pagerank_converged": q_pagerank_converged,
+        "lpa_modularity": q_lpa_modularity,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "salsa_3iter": q_salsa_3iter,
         "triangle_count": q_triangle_count,
@@ -5064,4 +5115,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _events_funnel_sql(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "balanced_partition": _balanced_partition_sql(),
+        "heat_kernel": _heat_kernel_sql(),
     }

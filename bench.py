@@ -224,6 +224,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.sweepcut import sweep_cut
     timed("ppr_sweep_cut", lambda: noop(sweep_cut(
         g, ppr_push(g, seed=1, eps=1e-5, max_rounds=20).scores)))
+    from pagerank_spark.operators.diffusion import heat_kernel_pagerank
+    timed("heat_kernel", lambda: noop(heat_kernel_pagerank(
+        g, t=2.0, terms=8)))
 
     # -- webtext ingestion: pandas-UDF anchor extraction + aggregation
     from pagerank_spark.operators.anchors import anchor_text_index
