@@ -3759,6 +3759,54 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+BPE_MERGES = 10
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py, Sennrich ACL 2016):
+    the first {BPE_MERGES} learned merge rules over the documents
+    corpus. The oracle replays every round — pair counts, the
+    (count desc, left, right) argmax, and the greedy list_reduce
+    re-split — so the learned table is pinned end to end."""
+    from pagerank_spark.operators.bpe import bpe_train
+    res = bpe_train(_t(spark, sf_dir, "documents"), merges=BPE_MERGES)
+    assert res.n_merges == BPE_MERGES, (
+        f"corpus ran out of pairs: {res.n_merges} < {BPE_MERGES}")
+    return res.merges.orderBy("step")
+
+
+def _bpe_sql(merges: int = BPE_MERGES) -> str:
+    parts = [
+        f"tkt AS (SELECT {_TOK_SQL} AS t FROM documents)",
+        ("w0 AS MATERIALIZED (SELECT w, count(*) AS freq, "
+         "array_to_string(list_transform(range(1, length(w) + 1), "
+         "i -> substr(w, i, 1)), ' ') AS syms "
+         "FROM (SELECT unnest(t) AS w FROM tkt) GROUP BY w)"),
+    ]
+    for r in range(merges):
+        parts += [
+            (f"a{r} AS (SELECT freq, string_split(syms, ' ') AS s "
+             f"FROM w{r})"),
+            (f"p{r} AS (SELECT s[g.i] AS l, s[g.i + 1] AS r, "
+             f"sum(freq) AS n FROM a{r}, "
+             f"LATERAL (SELECT unnest(range(1, len(s))) AS i) g "
+             f"GROUP BY 1, 2)"),
+            (f"b{r} AS MATERIALIZED (SELECT l, r, n FROM p{r} "
+             f"ORDER BY n DESC, l, r LIMIT 1)"),
+            (f"w{r + 1} AS MATERIALIZED (SELECT w, freq, "
+             f"list_reduce(string_split(syms, ' '), (acc, x) -> "
+             f"CASE WHEN string_split(acc, ' ')[-1] = b.l AND x = b.r "
+             f"THEN left(acc, length(acc) - length(b.l)) || b.l || b.r "
+             f"ELSE acc || ' ' || x END) AS syms "
+             f"FROM w{r} CROSS JOIN b{r} b)"),
+        ]
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS step, l AS \"left\", r AS \"right\", "
+        f"CAST(n AS BIGINT) AS n_pair FROM b{r}" for r in range(merges))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM ({unions}) ORDER BY step")
+
+
 PMI_MIN_COUNT = 3
 PMI_K = 200
 
@@ -4807,7 +4855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "multimodal_features": q_multimodal_features,
@@ -4850,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "balanced_partition": q_balanced_partition,
         "heat_kernel": q_heat_kernel,
+        "bpe_merges": q_bpe_merges,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4909,7 +4957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    lpa_modularity was displaced for heat_kernel: its LP chain is
         #    label_propagation (in-window) and its modularity sums share
         #    community.py with the r04-green community_conductance row.
+        #    dedup_clusters was displaced for bpe_merges: its minhash pair
+        #    pipeline is the r04-green dedup_minhash_lsh row and its
+        #    hash-min cluster loop is connected_components in-window.
         "pagerank_converged": q_pagerank_converged,
+        "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "salsa_3iter": q_salsa_3iter,
@@ -5116,4 +5168,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "balanced_partition": _balanced_partition_sql(),
         "heat_kernel": _heat_kernel_sql(),
+        "bpe_merges": _bpe_sql(),
     }

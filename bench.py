@@ -285,6 +285,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("maximal_matching", lambda: noop(maximal_matching(edges).edges))
     from pagerank_spark.operators.semdedup import semantic_dedup
     timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
+    from pagerank_spark.operators.bpe import bpe_train
+    timed("bpe_merges", lambda: noop(bpe_train(docs, merges=10).merges))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",
