@@ -1174,6 +1174,67 @@ SELECT lm, id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY lm, id
 """
 
 
+DIST_PAIRS_N = 16  # query pairs: u = 16 smallest ids x v = the next 16
+
+
+def q_distance_oracle_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query step of the sketch-based distance oracle (Das Sarma et al.
+    WSDM 2010; operators/bfs.py distance_oracle_estimate): est(u, v) =
+    min over landmarks of d(u->lm) + d(lm->v), over a deterministic
+    {DIST_PAIRS_N}x{DIST_PAIRS_N} query-pair grid. Exercises BOTH
+    landmark tables a directed oracle needs — the forward BFS and the
+    reverse-edge BFS — then answers every pair with two hash joins and a
+    min aggregate, no traversal."""
+    from pagerank_spark.operators.bfs import (distance_oracle_estimate,
+                                              landmark_bfs)
+    e = _edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    lms = verts.orderBy("id").limit(LANDMARK_K)
+    fwd = landmark_bfs(e, lms, max_hops=LANDMARK_HOPS).distances
+    bwd = landmark_bfs(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")),
+                       lms, max_hops=LANDMARK_HOPS).distances
+    ordered = verts.orderBy("id").limit(2 * DIST_PAIRS_N).collect()
+    us = [r["id"] for r in ordered[:DIST_PAIRS_N]]
+    vs = [r["id"] for r in ordered[DIST_PAIRS_N:]]
+    pairs = spark.createDataFrame([(u, v) for u in us for v in vs],
+                                  "u long, v long")
+    return distance_oracle_estimate(fwd, pairs, to_lm=bwd)
+
+
+def _dist_oracle_walk_sql(join_on: str, nxt: str) -> str:
+    """Scoped landmark BFS walk: the WHOLE recursive CTE lives inside its
+    own subquery. Sharing one WITH RECURSIVE between two walks AND the
+    UNION-based pair CTEs trips the DuckDB 1.0.0 mis-evaluation already
+    documented on SQL_LANDMARK_DISTANCES (every joined (u, v) collapsed
+    to a single pair); per-subquery scoping sidesteps it."""
+    return f"""(WITH RECURSIVE {_E_SQL},
+w(lm, id, d) AS (
+    SELECT id, id, 0 FROM (SELECT src AS id FROM e UNION SELECT dst FROM e
+                           ORDER BY id LIMIT {LANDMARK_K})
+    UNION
+    SELECT w.lm, e.{nxt}, w.d + 1 FROM w JOIN e ON e.{join_on} = w.id
+    WHERE w.d < {LANDMARK_HOPS})
+SELECT lm, id, min(d) AS dist FROM w GROUP BY lm, id)"""
+
+
+SQL_DISTANCE_ORACLE_EST = f"""
+WITH {_E_SQL},
+uu AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+pu AS (SELECT id AS u FROM uu ORDER BY id LIMIT {DIST_PAIRS_N}),
+pv AS (SELECT id AS v FROM uu ORDER BY id
+       LIMIT {DIST_PAIRS_N} OFFSET {DIST_PAIRS_N}),
+fd AS (SELECT * FROM {_dist_oracle_walk_sql('src', 'dst')} t),
+bd AS (SELECT * FROM {_dist_oracle_walk_sql('dst', 'src')} t)
+SELECT p.u, p.v, CAST(min(bd.dist + fd.dist) AS INT) AS est
+FROM (SELECT u, v FROM pu, pv) p
+JOIN bd ON bd.id = p.u
+JOIN fd ON fd.lm = bd.lm AND fd.id = p.v
+GROUP BY p.u, p.v
+"""
+
+
 SSSP_SOURCES = 2          # seeds = the 2 smallest vertex ids (data-derived)
 SSSP_ORACLE_ROUNDS = 10   # BF fixpoint at sf0.01 is 6 (measured); extra = no-op
 # synthetic exact edge weights both engines derive identically: integers in
@@ -3775,7 +3836,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.merges.orderBy("step")
 
 
-def _bpe_sql(merges: int = BPE_MERGES) -> str:
+def _bpe_parts(merges: int) -> list[str]:
+    """The training-replay CTE chain (shared by the train and encode
+    oracles): w{merges} is the fully-merged word -> syms dictionary and
+    every b{r} is round r's argmax merge rule."""
     parts = [
         f"tkt AS (SELECT {_TOK_SQL} AS t FROM documents)",
         ("w0 AS MATERIALIZED (SELECT w, count(*) AS freq, "
@@ -3800,11 +3864,45 @@ def _bpe_sql(merges: int = BPE_MERGES) -> str:
              f"ELSE acc || ' ' || x END) AS syms "
              f"FROM w{r} CROSS JOIN b{r} b)"),
         ]
+    return parts
+
+
+def _bpe_sql(merges: int = BPE_MERGES) -> str:
+    parts = _bpe_parts(merges)
     unions = " UNION ALL ".join(
         f"SELECT {r} AS step, l AS \"left\", r AS \"right\", "
         f"CAST(n AS BIGINT) AS n_pair FROM b{r}" for r in range(merges))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT * FROM ({unions}) ORDER BY step")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY step (operators/bpe.py bpe_encode): train
+    {BPE_MERGES} merges on the documents corpus, then tokenize the same
+    corpus through the word -> symbolization dictionary join. The oracle
+    replays training to the final dictionary (the shared _bpe_parts
+    chain) and re-tokenizes every document through it, so each doc's full
+    subword sequence is value-hash-pinned end to end."""
+    from pagerank_spark.operators.bpe import bpe_encode, bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    trained = bpe_train(docs, merges=BPE_MERGES)
+    return bpe_encode(docs, trained)
+
+
+def _bpe_encode_sql(merges: int = BPE_MERGES) -> str:
+    parts = _bpe_parts(merges) + [
+        f"tkd AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents)",
+        ("dwords AS (SELECT doc_id, g.i AS pos, t[g.i] AS w FROM tkd, "
+         "LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g)"),
+        (f"enc AS (SELECT d.doc_id, "
+         f"flatten(list(string_split(v.syms, ' ') ORDER BY d.pos)) AS toks "
+         f"FROM dwords d JOIN w{merges} v USING (w) GROUP BY d.doc_id)"),
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id, CAST(coalesce(len(e.toks), 0) AS INT) AS n_tokens,
+       coalesce(e.toks, []) AS tokens
+FROM documents d LEFT JOIN enc e USING (doc_id)
+""")
 
 
 PMI_MIN_COUNT = 3
@@ -4845,7 +4943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "hits_3iter": q_hits_3iter,
-        "bfs_hops": q_bfs_hops,
         "coreness": q_coreness,
         "graph_contraction": q_graph_contraction,
         "trustrank_spam_mass": q_trustrank_spam_mass,
@@ -4855,7 +4952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
         "decontaminate": q_decontaminate,
-        "similarity_topk_cosine": q_similarity_topk_cosine,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "multimodal_features": q_multimodal_features,
         # -- group 2: new since the r04 driver run, or implementation
@@ -4898,6 +4994,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_partition": q_balanced_partition,
         "heat_kernel": q_heat_kernel,
         "bpe_merges": q_bpe_merges,
+        # late round-5 pair: the distance-oracle QUERY step and the BPE
+        # APPLY step (both new — no driver row ever). bfs_hops was
+        # displaced for distance_oracle_est: the estimator runs
+        # landmark_bfs TWICE (forward + reversed edges) — the same
+        # frontier superstep — and bfs_hops' merged-min variant keeps its
+        # pinned per-source-equivalence pytest plus the in-window
+        # landmark_distances row. similarity_topk_cosine was displaced
+        # for bpe_encode: its exact cosine kernel is the verify stage of
+        # the in-window similarity_ann_ivf row and of the r04-green
+        # dedup_embedding row, and its own r03-green row stands.
+        "distance_oracle_est": q_distance_oracle_est,
+        "bpe_encode": q_bpe_encode,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -4960,6 +5068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_clusters was displaced for bpe_merges: its minhash pair
         #    pipeline is the r04-green dedup_minhash_lsh row and its
         #    hash-min cluster loop is connected_components in-window.
+        "bfs_hops": q_bfs_hops,
+        "similarity_topk_cosine": q_similarity_topk_cosine,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5169,4 +5279,6 @@ def oracle_sql() -> dict[str, str]:
         "balanced_partition": _balanced_partition_sql(),
         "heat_kernel": _heat_kernel_sql(),
         "bpe_merges": _bpe_sql(),
+        "distance_oracle_est": SQL_DISTANCE_ORACLE_EST,
+        "bpe_encode": _bpe_encode_sql(),
     }

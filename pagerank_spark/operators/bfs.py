@@ -166,3 +166,42 @@ def landmark_bfs(
         frontier = new_frontier.select("lm", "id")
     return LandmarkResult(distances=reduce(DataFrame.unionAll, layers),
                           rounds=rounds, exhausted=exhausted)
+
+
+def distance_oracle_estimate(
+    from_lm: DataFrame,
+    pairs: DataFrame,
+    to_lm: DataFrame | None = None,
+) -> DataFrame:
+    """Query step of the landmark distance oracle (Das Sarma et al.,
+    "A Sketch-Based Distance Oracle for Web-Scale Graphs", WSDM 2010):
+    estimate d(u, v) as min over landmarks of d(u -> lm) + d(lm -> v).
+    By the triangle inequality the estimate is an UPPER bound, exact
+    whenever some shortest u-v path passes through a landmark.
+
+    ``from_lm``: (lm, id, dist) forward distances d(lm -> id) from
+    :func:`landmark_bfs`. ``to_lm``: distances d(id -> lm) in the same
+    (lm, id, dist) layout — i.e. :func:`landmark_bfs` run on the REVERSED
+    edge table; defaults to ``from_lm`` (the undirected convention).
+    ``pairs``: (u, v) query pairs. Pairs with no landmark reaching/reached
+    by both endpoints produce no row (the oracle is silent, not infinite).
+
+    Scale shape — the point of the oracle: query time is TWO hash joins
+    (u-keyed, then (lm, v)-keyed) plus one min aggregate over at most
+    |pairs| x k rows; no traversal touches the graph. The O(V x k)
+    distance tables are built once by ``landmark_bfs`` and reused across
+    every query batch.
+    """
+    if to_lm is None:
+        to_lm = from_lm
+    left = to_lm.select("lm", F.col("id").alias("u"),
+                        F.col("dist").alias("du"))
+    right = from_lm.select("lm", F.col("id").alias("v"),
+                           F.col("dist").alias("dv"))
+    return (
+        pairs.select("u", "v")
+        .join(left, "u")
+        .join(right, ["lm", "v"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("du") + F.col("dv")).cast("int").alias("est"))
+    )

@@ -112,3 +112,75 @@ def bpe_train(docs: DataFrame, merges: int = 20, id_col: str = "doc_id",
     merges_df = spark.createDataFrame(
         learned or [], "step int, left string, right string, n_pair long")
     return BPEResult(merges=merges_df, vocab=words, n_merges=len(learned))
+
+
+def _apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply the learned rules in order to ``(w, syms)``, ONE FOLD PER
+    PASS with an eager checkpoint in between — the textops lesson:
+    ``_merge_fold`` references its input expression ~3x, so chaining k
+    folds in one projection builds a ~3^k expression tree (measured 200s
+    of pure Catalyst time at k=10). The input is the distinct UNSEEN word
+    table (tiny by Zipf), so k small jobs beat one exponential plan."""
+    for left, right in merges:
+        words = words.select(
+            "w", _merge_fold(F.split(F.col("syms"), " "), left, right)
+            .alias("syms")).localCheckpoint(eager=True)
+    return words
+
+
+def bpe_encode(docs: DataFrame, trained: BPEResult,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table — the APPLY step
+    (Sennrich ACL 2016 §3; ``bpe_train`` is the learn step).
+
+    Returns ``(id_col, n_tokens int, tokens array<string>)``; documents
+    whose text yields no words keep a row with an empty token array.
+
+    Scale shape: encoding is a DICTIONARY JOIN, not per-token work. The
+    corpus's distinct words (vocab-bounded — the Zipf head, shared with
+    ``bpe_train``'s one-scan discipline) are symbolized once: words seen
+    at training time take their final symbolization straight from the
+    trained vocab; words unseen at training time form a (tiny) distinct
+    word table that runs the same greedy merge folds in learned order —
+    per distinct WORD, never per occurrence. The per-document token
+    sequence is then one posexplode + dictionary equi-join + ordered
+    re-aggregation; the dictionary is the small side (broadcast/AQE).
+    The merge list itself is the k-row learned table — driver state
+    bounded by the vocabulary budget, the codebook discipline.
+    """
+    from pagerank_spark.operators.textops import tokens as _tokens
+
+    merge_rows = trained.merges.orderBy("step").collect()
+    merge_list = [(r["left"], r["right"]) for r in merge_rows]
+
+    words = (docs.select(F.posexplode(_tokens(F.col(text_col)))
+                         .alias("pos", "w"))
+             .select("w").distinct())
+    vocab = trained.vocab.select("w", "syms")
+    unseen = (words.join(vocab.select("w"), "w", "left_anti")
+              .select("w", F.array_join(F.transform(
+                  F.sequence(F.lit(1), F.length("w")),
+                  lambda i: F.substring(F.col("w"), i, F.lit(1))),
+                  " ").alias("syms"))
+              .localCheckpoint(eager=True))
+    # bounded-scalar probe: encoding the training corpus (the common
+    # case) has zero unseen words — skip the k fold passes entirely
+    if merge_list and unseen.limit(1).count():
+        unseen = _apply_merges(unseen, merge_list)
+    dictionary = vocab.unionByName(unseen)
+
+    occ = docs.select(F.col(id_col),
+                      F.posexplode(_tokens(F.col(text_col))).alias("pos", "w"))
+    per_doc = (
+        occ.join(dictionary, "w")
+        .select(id_col, "pos", F.split(F.col("syms"), " ").alias("sub"))
+        .groupBy(id_col)
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sub"))),
+            lambda s: s["sub"])).alias("tokens"))
+    )
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("tokens", F.array().cast("array<string>"))
+                    .alias("tokens"))
+            .select(id_col, F.size("tokens").alias("n_tokens"), "tokens"))

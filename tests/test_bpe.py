@@ -95,3 +95,71 @@ def test_bpe_partition_invariance(spark):
     b = [tuple(r) for r in bpe_train(sp.repartition(7),
                                      merges=6).merges.collect()]
     assert a == b and len(a) == 6
+
+
+def _ref_encode(text, merge_rules):
+    """Reference apply: char-split each word, run every merge in learned
+    order, greedy left-to-right; concatenate subwords across words."""
+    out = []
+    for w in (text or "").lower().split():
+        syms = list(w)
+        for a, b in merge_rules:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_training_corpus_matches_reference(spark):
+    from pagerank_spark.operators.bpe import bpe_encode
+    rng = random.Random(23)
+    texts = [" ".join("".join(rng.choices(string.ascii_lowercase[:4],
+                                          k=rng.randint(1, 6)))
+                      for _ in range(rng.randint(2, 8)))
+             for _ in range(25)]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    trained = bpe_train(docs, merges=8)
+    rules = [(r.left, r.right)
+             for r in trained.merges.orderBy("step").collect()]
+    got = {r.doc_id: (r.n_tokens, list(r.tokens))
+           for r in bpe_encode(docs, trained).collect()}
+    for i, t in enumerate(texts):
+        want = _ref_encode(t, rules)
+        assert got[i] == (len(want), want), i
+
+
+def test_bpe_encode_unseen_words_run_merges(spark):
+    from pagerank_spark.operators.bpe import bpe_encode
+    train = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string")
+    trained = bpe_train(train, merges=2)  # learns (a,b) then (ab,ab)
+    # 'ababab' and 'ba' never seen at training time
+    new = spark.createDataFrame(
+        [(7, "ababab ab ba"), (8, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, list(r.tokens))
+           for r in bpe_encode(new, trained).collect()}
+    # ababab: (a,b) -> [ab,ab,ab]; (ab,ab) greedy -> [abab, ab];
+    # ba: no rule matches (b,a) -> stays char symbols
+    assert got[7] == (5, ["abab", "ab", "ab", "b", "a"])
+    assert got[8] == (0, [])
+
+
+def test_bpe_encode_partition_invariant(spark):
+    from pagerank_spark.operators.bpe import bpe_encode
+    docs = spark.createDataFrame(
+        [(i, "abc ab a " * (i % 3 + 1)) for i in range(12)],
+        "doc_id long, text string")
+    trained = bpe_train(docs, merges=3)
+    a = {r.doc_id: list(r.tokens)
+         for r in bpe_encode(docs, trained).collect()}
+    b = {r.doc_id: list(r.tokens)
+         for r in bpe_encode(docs.repartition(7), trained).collect()}
+    assert a == b

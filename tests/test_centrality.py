@@ -206,3 +206,69 @@ def test_landmark_bfs_distance_estimate_upper_bound(spark):
     d = {(r.lm, r.id): r.dist for r in res.distances.collect()}
     assert d[(2, 0)] + d[(2, 4)] == 4
     assert res.exhausted
+
+
+def test_distance_oracle_estimate_undirected_exact_through_landmark(spark):
+    from pagerank_spark.operators.bfs import (distance_oracle_estimate,
+                                              landmark_bfs)
+    # symmetric chain 0-1-2-3-4, landmark 2: every (u,v) estimate is
+    # d(u,2)+d(2,v), exact whenever the shortest path passes 2
+    e = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    dist = landmark_bfs(edges, [2], max_hops=10).distances
+    pairs = spark.createDataFrame([(0, 4), (1, 3), (0, 2)], "u long, v long")
+    got = {(r.u, r.v): r.est
+           for r in distance_oracle_estimate(dist, pairs).collect()}
+    assert got == {(0, 4): 4, (1, 3): 2, (0, 2): 2}
+
+
+def test_distance_oracle_estimate_directed_uses_reverse_table(spark):
+    from pagerank_spark.operators.bfs import (distance_oracle_estimate,
+                                              landmark_bfs)
+    # directed cycle 0->1->2->3->0, landmark 0: d(2->0)=2 (via 3) and
+    # d(0->1)=1, so est(2,1) = 3 — correct for the directed graph, while
+    # using the forward table for both sides would (wrongly) give 1+1=2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    rev = edges.selectExpr("dst AS src", "src AS dst")
+    from pyspark.sql import functions as F  # noqa: F401 (style parity)
+    fwd = landmark_bfs(edges, [0], max_hops=10).distances
+    bwd = landmark_bfs(rev, [0], max_hops=10).distances
+    pairs = spark.createDataFrame([(2, 1)], "u long, v long")
+    got = distance_oracle_estimate(fwd, pairs, to_lm=bwd).collect()
+    assert {(r.u, r.v): r.est for r in got} == {(2, 1): 3}
+
+
+def test_distance_oracle_estimate_upper_bound_on_random_graph(spark):
+    from pagerank_spark.operators.bfs import (bfs_hops,
+                                              distance_oracle_estimate,
+                                              landmark_bfs)
+    edges = spark.createDataFrame(_random_edges(60, 150, 29),
+                                  "src long, dst long")
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    dist = landmark_bfs(sym, [0, 7, 13], max_hops=12).distances
+    us = [1, 2, 3, 4, 5]
+    pairs = spark.createDataFrame([(u, v) for u in us for v in (20, 21)],
+                                  "u long, v long")
+    est = {(r.u, r.v): r.est
+           for r in distance_oracle_estimate(dist, pairs).collect()}
+    # truth per source u via BFS on the same symmetrized graph
+    for u in us:
+        truth = {r.id: r.dist
+                 for r in bfs_hops(sym, [u], max_hops=24).distances.collect()}
+        for v in (20, 21):
+            if (u, v) in est:
+                assert est[(u, v)] >= truth[v], (u, v)
+
+
+def test_distance_oracle_estimate_silent_when_no_common_landmark(spark):
+    from pagerank_spark.operators.bfs import (distance_oracle_estimate,
+                                              landmark_bfs)
+    # two disconnected symmetric edges; landmark 0 never reaches {2,3}
+    edges = spark.createDataFrame([(0, 1), (1, 0), (2, 3), (3, 2)],
+                                  "src long, dst long")
+    dist = landmark_bfs(edges, [0], max_hops=5).distances
+    pairs = spark.createDataFrame([(0, 3), (2, 3), (0, 1)], "u long, v long")
+    got = {(r.u, r.v): r.est
+           for r in distance_oracle_estimate(dist, pairs).collect()}
+    assert got == {(0, 1): 1}
