@@ -3820,6 +3820,55 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+KN_DISCOUNT = 0.75   # the classic absolute-discount value
+KN_TARGET_MOD = 5    # target (clean) corpus = docs with doc_id % 5 == 0
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity (operators/textops.py
+    kn_perplexity — the KenLM smoothing family, the actual CCNet stage-3
+    shape): LM trained on the doc_id % {KN_TARGET_MOD} == 0 target
+    slice, every document scored against it — so unseen bigrams, unseen
+    contexts, AND out-of-vocabulary continuations (the three smoothing
+    branches) are all exercised and value-hash-pinned."""
+    from pagerank_spark.operators.textops import kn_perplexity
+    docs = _t(spark, sf_dir, "documents")
+    return kn_perplexity(docs,
+                         target=docs.filter(F.col("doc_id") % KN_TARGET_MOD
+                                            == 0),
+                         discount=KN_DISCOUNT)
+
+
+SQL_KN_PERPLEXITY = f"""
+WITH tkt AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+tbg AS (SELECT t[g.i] AS prev, t[g.i + 1] AS cur
+        FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        WHERE doc_id % {KN_TARGET_MOD} = 0),
+lm AS (SELECT prev, cur, count(*) AS c_bg FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(c_bg) AS c_ctx, count(*) AS n1p_fwd
+        FROM lm GROUP BY 1),
+cont AS (SELECT cur, count(*) AS n1p_back FROM lm GROUP BY 1),
+tot AS (SELECT CAST(count(*) + count(DISTINCT cur) + 1 AS DOUBLE) AS denom
+        FROM lm),
+bg AS (SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+       FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+              avg(-log2(CASE WHEN ctx.c_ctx IS NOT NULL THEN
+                  greatest(coalesce(lm.c_bg, 0) - {KN_DISCOUNT}, 0.0)
+                      / ctx.c_ctx
+                  + {KN_DISCOUNT} * ctx.n1p_fwd / ctx.c_ctx
+                      * ((coalesce(cont.n1p_back, 0) + 1) / t.denom)
+              ELSE (coalesce(cont.n1p_back, 0) + 1) / t.denom END)) AS h
+       FROM bg b LEFT JOIN lm USING (prev, cur) LEFT JOIN ctx USING (prev)
+            LEFT JOIN cont USING (cur) CROSS JOIN tot t
+       GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(power(2.0, sc.h), 0.0), 6) AS ppl
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 BPE_MERGES = 10
 
 
@@ -4944,7 +4993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "hits_3iter": q_hits_3iter,
         "coreness": q_coreness,
-        "graph_contraction": q_graph_contraction,
         "trustrank_spam_mass": q_trustrank_spam_mass,
         "link_prediction": q_link_prediction,
         "betweenness": q_betweenness,
@@ -5006,6 +5054,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_embedding row, and its own r03-green row stands.
         "distance_oracle_est": q_distance_oracle_est,
         "bpe_encode": q_bpe_encode,
+        # kn_perplexity (new — interpolated Kneser-Ney, the smoothed
+        # CCNet stage-3 scorer) displaced graph_contraction: both of
+        # contraction's factors hold evidence — its weighted-PageRank
+        # consumer is in-window (pagerank_weighted_3iter) and the fused
+        # contraction∘PR composition row host_pagerank_3iter is
+        # r03-green — and its own r03-green row stands.
+        "kn_perplexity": q_kn_perplexity,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -5070,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hash-min cluster loop is connected_components in-window.
         "bfs_hops": q_bfs_hops,
         "similarity_topk_cosine": q_similarity_topk_cosine,
+        "graph_contraction": q_graph_contraction,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5281,4 +5337,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(),
         "distance_oracle_est": SQL_DISTANCE_ORACLE_EST,
         "bpe_encode": _bpe_encode_sql(),
+        "kn_perplexity": SQL_KN_PERPLEXITY,
     }

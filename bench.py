@@ -114,9 +114,21 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: noop(resolve_redirects(redir, max_hops=8, src_col="id",
                                          dst_col="ptr").targets))
     timed("bfs_hops", lambda: noop(bfs_hops(edges, [1], max_hops=8).distances))
-    from pagerank_spark.operators.bfs import landmark_bfs
+    from pagerank_spark.operators.bfs import (distance_oracle_estimate,
+                                              landmark_bfs)
     timed("landmark_bfs_4", lambda: noop(landmark_bfs(
         edges, [1, 2, 3, 4], max_hops=8).distances))
+
+    def _dist_oracle():
+        # build both oracle tables (fwd + reversed), answer a 32x32 grid
+        fwd = landmark_bfs(edges, [1, 2, 3, 4], max_hops=8).distances
+        bwd = landmark_bfs(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")),
+                           [1, 2, 3, 4], max_hops=8).distances
+        pairs = spark.range(32).selectExpr("id AS u").crossJoin(
+            spark.range(32, 64).selectExpr("id AS v"))
+        noop(distance_oracle_estimate(fwd, pairs, to_lm=bwd))
+    timed("distance_oracle_est", _dist_oracle)
     from pagerank_spark.operators.sssp import shortest_paths
     swedges = edges.select("src", "dst", F.expr(
         "CAST(1 + (src * 7 + dst * 3) % 5 AS DOUBLE)").alias("w"))
@@ -256,8 +268,10 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.textops import pii_scrub, repetition_stats
     timed("pii_scrub", lambda: noop(pii_scrub(docs)))
     timed("docs_repetition", lambda: noop(repetition_stats(docs)))
-    from pagerank_spark.operators.textops import lm_perplexity
+    from pagerank_spark.operators.textops import kn_perplexity, lm_perplexity
     timed("lm_perplexity", lambda: noop(lm_perplexity(docs)))
+    timed("kn_perplexity", lambda: noop(kn_perplexity(
+        docs, target=docs.filter(F.col("doc_id") % 5 == 0))))
     from pagerank_spark.operators.textops import pmi_collocations
     timed("pmi_collocations", lambda: noop(pmi_collocations(
         docs, min_count=3, k=200)))
@@ -285,8 +299,10 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("maximal_matching", lambda: noop(maximal_matching(edges).edges))
     from pagerank_spark.operators.semdedup import semantic_dedup
     timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
-    from pagerank_spark.operators.bpe import bpe_train
+    from pagerank_spark.operators.bpe import bpe_encode, bpe_train
     timed("bpe_merges", lambda: noop(bpe_train(docs, merges=10).merges))
+    bpe_trained = bpe_train(docs, merges=10)
+    timed("bpe_encode", lambda: noop(bpe_encode(docs, bpe_trained)))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

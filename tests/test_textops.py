@@ -464,3 +464,97 @@ def test_textrank_empty_and_validation(spark):
         textrank_keywords(sp, alpha=1.0)
     with pytest.raises(ValueError):
         textrank_keywords(sp, iterations=-1)
+
+
+def _ref_kn(train_texts, score_by_id, d):
+    """Interpolated KN bigram reference (Chen-Goodman 1998 eq. shapes with
+    the +1 <unk> reserve on the continuation distribution)."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return (t or "").lower().split()
+
+    tb = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            tb[(a, b)] += 1
+    c_ctx, n1p_fwd, n1p_back = Counter(), Counter(), Counter()
+    for (a, b), c in tb.items():
+        c_ctx[a] += c
+        n1p_fwd[a] += 1
+        n1p_back[b] += 1
+    denom = len(tb) + len(n1p_back) + 1
+    out = {}
+    for did, t in score_by_id.items():
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[did] = (0, 0.0)
+            continue
+        h = 0.0
+        for a, b in pairs:
+            pc = (n1p_back.get(b, 0) + 1) / denom
+            if a in c_ctx:
+                lam = d * n1p_fwd[a] / c_ctx[a]
+                p = max(tb.get((a, b), 0) - d, 0.0) / c_ctx[a] + lam * pc
+            else:
+                p = pc
+            h += -math.log2(p)
+        out[did] = (len(pairs), round(2 ** (h / len(pairs)), 6))
+    return out
+
+
+def test_kn_perplexity_matches_reference_with_target(spark):
+    import random
+    from pagerank_spark.operators.textops import kn_perplexity
+    rng = random.Random(31)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "fast", "slow"]
+    tgt_texts = [" ".join(rng.choices(vocab[:6], k=rng.randint(2, 12)))
+                 for _ in range(30)]
+    # scored corpus uses the FULL vocab -> unseen bigrams, unseen
+    # contexts, and OOV continuations ('fast'/'slow' never in target)
+    raw_texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+                 for _ in range(40)]
+    tgt = spark.createDataFrame([(i, t) for i, t in enumerate(tgt_texts)],
+                                "doc_id long, text string")
+    raw = spark.createDataFrame([(i, t) for i, t in enumerate(raw_texts)],
+                                "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in kn_perplexity(raw, target=tgt, discount=0.75).collect()}
+    want = _ref_kn(tgt_texts, dict(enumerate(raw_texts)), 0.75)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_kn_perplexity_target_like_text_scores_lower(spark):
+    from pagerank_spark.operators.textops import kn_perplexity
+    tgt = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "zebra quark flux zebra quark flux")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.ppl for r in kn_perplexity(raw, target=tgt).collect()}
+    assert got[0] < got[1]
+
+
+def test_kn_perplexity_self_train_and_validation(spark):
+    from pagerank_spark.operators.textops import kn_perplexity
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "b a b"), (2, ""), (3, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in kn_perplexity(docs).collect()}
+    want = _ref_kn(["a b a b a", "b a b", "", "solo"],
+                   {0: "a b a b a", 1: "b a b", 2: "", 3: "solo"}, 0.75)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+    with pytest.raises(ValueError):
+        kn_perplexity(docs, discount=1.5)
