@@ -3820,6 +3820,50 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+UNIMAX_BUDGET = 120_000.0   # chars; caps de/fr/es/zh, leaves en uncapped
+UNIMAX_EPOCHS = 1.0
+
+
+def q_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax sampling-budget allocation (operators/splits.py
+    unimax_budgets, Chung et al. ICLR 2023): char-weighted per-language
+    budgets under a {UNIMAX_EPOCHS}-epoch cap. At sf0.01 the
+    {UNIMAX_BUDGET:.0f}-char budget caps every minority language at full
+    capacity and hands the remainder to English — both water-filling
+    branches (capped prefix, uniform tail) are value-hash-pinned."""
+    from pagerank_spark.operators.splits import unimax_budgets
+    return unimax_budgets(_t(spark, sf_dir, "documents"), "lang",
+                          budget=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS,
+                          weight_col="n_chars")
+
+
+SQL_UNIMAX_BUDGETS = f"""
+WITH counts AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n_s
+                FROM documents GROUP BY lang),
+ranked AS (SELECT lang, n_s,
+                  row_number() OVER (ORDER BY n_s, lang) AS rk,
+                  sum(n_s) OVER (ORDER BY n_s, lang) - n_s AS cum_prev,
+                  count(*) OVER () AS n_strata
+           FROM counts),
+k0 AS (SELECT min(CASE WHEN {UNIMAX_EPOCHS} * n_s * (n_strata - rk + 1)
+                            > {UNIMAX_BUDGET} - {UNIMAX_EPOCHS} * cum_prev
+                       THEN rk END) AS k0 FROM ranked),
+cs AS (SELECT sum(CASE WHEN rk < coalesce(k0, n_strata + 1)
+                       THEN n_s ELSE 0.0 END) AS capped_n
+       FROM ranked CROSS JOIN k0),
+alloc AS (SELECT lang, n_s,
+                 CASE WHEN rk < coalesce(k0, n_strata + 1)
+                      THEN {UNIMAX_EPOCHS} * n_s
+                      ELSE ({UNIMAX_BUDGET} - {UNIMAX_EPOCHS} * capped_n)
+                           / (n_strata - coalesce(k0, n_strata + 1) + 1)
+                 END AS budget_raw
+          FROM ranked CROSS JOIN k0 CROSS JOIN cs)
+SELECT lang, n_s, round(budget_raw, 6) AS budget_s,
+       round(budget_raw / n_s, 6) AS epochs_s
+FROM alloc
+"""
+
+
 KN_DISCOUNT = 0.75   # the classic absolute-discount value
 KN_TARGET_MOD = 5    # target (clean) corpus = docs with doc_id % 5 == 0
 
@@ -4999,7 +5043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
-        "decontaminate": q_decontaminate,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "multimodal_features": q_multimodal_features,
         # -- group 2: new since the r04 driver run, or implementation
@@ -5061,6 +5104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contraction∘PR composition row host_pagerank_3iter is
         # r03-green — and its own r03-green row stands.
         "kn_perplexity": q_kn_perplexity,
+        # unimax_budgets (new — epoch-capped water-filling allocation)
+        # displaced decontaminate: its hashed-shingle join machinery is
+        # in-window via winnow_dedup and r04-green via dedup_minhash_lsh /
+        # dedup_ngram_jaccard, and its own r03-green row stands.
+        "unimax_budgets": q_unimax_budgets,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -5126,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "graph_contraction": q_graph_contraction,
+        "decontaminate": q_decontaminate,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5338,4 +5387,5 @@ def oracle_sql() -> dict[str, str]:
         "distance_oracle_est": SQL_DISTANCE_ORACLE_EST,
         "bpe_encode": _bpe_encode_sql(),
         "kn_perplexity": SQL_KN_PERPLEXITY,
+        "unimax_budgets": SQL_UNIMAX_BUDGETS,
     }

@@ -335,9 +335,12 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "doc_id", m_bits=1 << 16, hashes=3)))
     timed("stratified_sample", lambda: noop(stratified_sample(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.25)))
-    from pagerank_spark.operators.splits import temperature_mix
+    from pagerank_spark.operators.splits import temperature_mix, unimax_budgets
     timed("temperature_mix", lambda: noop(temperature_mix(
         docs, "doc_id", "lang", tau=0.7)))
+    timed("unimax_budgets", lambda: noop(unimax_budgets(
+        docs, "lang", budget=1_200_000.0, max_epochs=1.0,
+        weight_col="n_chars")))
     # containment in its production shape: LSH candidates, not the
     # exhaustive shared-shingle join the sf0.01 oracle uses
     from pagerank_spark.operators.dedup import (exact_containment,

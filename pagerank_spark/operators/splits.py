@@ -311,3 +311,76 @@ def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
     bucket = split_bucket(F.col(key_col), salt)
     return (df.join(F.broadcast(thr), strata_col)
             .filter(bucket < F.col("mix_threshold")))
+
+
+def unimax_budgets(df: DataFrame, strata_col: str, budget: float,
+                   max_epochs: float = 4.0,
+                   weight_col: str | None = None) -> DataFrame:
+    """UniMax sampling-budget allocation (Chung et al., "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): split a total training budget across strata
+    (languages) as uniformly as possible subject to a per-stratum repeat
+    cap — no stratum contributes more than ``max_epochs`` passes over its
+    corpus. The temperature knob of :func:`temperature_mix` disappears;
+    the only parameter is the epoch cap.
+
+    Water-filling closed form: visit strata in ascending corpus-size
+    order; while a stratum's full capacity ``max_epochs * n_s`` is below
+    the current fair share ``remaining_budget / remaining_strata`` it is
+    CAPPED at capacity, and once one stratum is uncapped every larger one
+    is too (the fair share is invariant from there on — b = quota keeps
+    quota constant), so the allocation is: capped prefix at capacity, the
+    rest split the leftover equally. That prefix structure lets the whole
+    computation stay IN-PLAN: one stratum aggregate, one window over the
+    S-row stratum table (S = #languages — a driver-free "collect"-sized
+    frame; the single-partition window is deliberate and bounded), two
+    1-row aggregates broadcast back. The corpus is touched by exactly one
+    scan.
+
+    ``weight_col`` sizes strata by its sum (e.g. token counts) instead of
+    row counts. Returns ``(strata_col, n_s, budget_s, epochs_s)`` with
+    budget_s/epochs_s rounded to 6 dp; Σ budget_s = budget when total
+    capacity allows, else every stratum caps (Σ = max_epochs * N).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0: {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    b, e = float(budget), float(max_epochs)
+    w = (F.count(F.lit(1)) if weight_col is None
+         else F.sum(F.col(weight_col)))
+    counts = df.groupBy(strata_col).agg(w.cast("double").alias("n_s"))
+    win = Window.orderBy("n_s", strata_col)
+    ranked = counts.select(
+        strata_col, "n_s",
+        F.row_number().over(win).alias("rk"),
+        (F.sum("n_s").over(win) - F.col("n_s")).alias("cum_prev"))
+    totals = ranked.agg(F.count(F.lit(1)).alias("n_strata"))
+    # first rank whose full capacity exceeds its fair share (S+1 if none)
+    flagged = ranked.crossJoin(F.broadcast(totals))
+    k0 = (flagged
+          .agg(F.min(F.when(
+              F.lit(e) * F.col("n_s") * (F.col("n_strata") - F.col("rk") + 1)
+              > F.lit(b) - F.lit(e) * F.col("cum_prev"),
+              F.col("rk"))).alias("k0")))
+    capped_sum = (flagged.crossJoin(F.broadcast(k0))
+                  .agg(F.sum(F.when(
+                      F.col("rk") < F.coalesce(F.col("k0"),
+                                               F.col("n_strata") + 1),
+                      F.col("n_s")).otherwise(F.lit(0.0)))
+                      .alias("capped_n")))
+    out = (flagged.crossJoin(F.broadcast(k0))
+           .crossJoin(F.broadcast(capped_sum))
+           .withColumn("_k0", F.coalesce(F.col("k0"),
+                                         F.col("n_strata") + 1))
+           .withColumn("budget_s", F.when(
+               F.col("rk") < F.col("_k0"), F.lit(e) * F.col("n_s"))
+               .otherwise((F.lit(b) - F.lit(e) * F.col("capped_n"))
+                          / (F.col("n_strata") - F.col("_k0") + 1)))
+           .select(strata_col, "n_s",
+                   F.round("budget_s", 6).alias("budget_s"),
+                   F.round(F.col("budget_s") / F.col("n_s"), 6)
+                   .alias("epochs_s")))
+    return out

@@ -272,3 +272,75 @@ def test_temperature_mix_rejects_upsampling_tau(spark, docs):
         temperature_mix(docs, "doc_id", "lang", tau=1.2)
     with pytest.raises(ValueError):
         temperature_mix(docs, "doc_id", "lang", tau=-0.1)
+
+
+def _ref_unimax(sizes, budget, epochs):
+    """Sequential water-filling reference (UniMax, Chung et al. 2023)."""
+    items = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    rem, out = budget, {}
+    for i, (s, n) in enumerate(items):
+        quota = rem / (len(items) - i)
+        out[s] = min(epochs * n, quota)
+        rem -= out[s]
+    return out
+
+
+def _mkcorpus(spark, sizes):
+    rows = [(f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+def test_unimax_matches_sequential_reference(spark):
+    from pagerank_spark.operators.splits import unimax_budgets
+    sizes = {"en": 218, "de": 70, "zh": 75, "fr": 64, "yi": 3}
+    df = _mkcorpus(spark, sizes)
+    got = {r.lang: (r.n_s, r.budget_s, r.epochs_s)
+           for r in unimax_budgets(df, "lang", budget=600.0,
+                                   max_epochs=2.0).collect()}
+    want = _ref_unimax(sizes, 600.0, 2.0)
+    assert set(got) == set(want)
+    total = 0.0
+    for s, n in sizes.items():
+        assert got[s][0] == n
+        assert got[s][1] == pytest.approx(want[s], abs=1e-6), s
+        assert got[s][2] <= 2.0 + 1e-9          # epoch cap respected
+        assert got[s][2] == pytest.approx(got[s][1] / n, abs=1e-5)
+        total += got[s][1]
+    assert total == pytest.approx(600.0, abs=1e-5)  # budget exhausted
+    # the rare stratum caps at capacity, the dominant one gets < capacity
+    assert got["yi"][2] == pytest.approx(2.0)
+    assert got["en"][2] < 2.0
+
+
+def test_unimax_budget_above_capacity_caps_everything(spark):
+    from pagerank_spark.operators.splits import unimax_budgets
+    sizes = {"a": 10, "b": 20}
+    got = {r.lang: r.budget_s
+           for r in unimax_budgets(_mkcorpus(spark, sizes), "lang",
+                                   budget=1e6, max_epochs=3.0).collect()}
+    assert got == {"a": pytest.approx(30.0), "b": pytest.approx(60.0)}
+
+
+def test_unimax_uniform_when_no_cap_binds(spark):
+    from pagerank_spark.operators.splits import unimax_budgets
+    sizes = {"a": 100, "b": 200, "c": 400}
+    got = {r.lang: r.budget_s
+           for r in unimax_budgets(_mkcorpus(spark, sizes), "lang",
+                                   budget=90.0, max_epochs=1.0).collect()}
+    assert all(v == pytest.approx(30.0) for v in got.values())
+
+
+def test_unimax_weight_col_and_validation(spark):
+    from pagerank_spark.operators.splits import unimax_budgets
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 100.0)], "lang string, toks double")
+    got = {r.lang: (r.n_s, r.budget_s)
+           for r in unimax_budgets(df, "lang", budget=60.0, max_epochs=2.0,
+                                   weight_col="toks").collect()}
+    want = _ref_unimax({"a": 10.0, "b": 100.0}, 60.0, 2.0)
+    for s in want:
+        assert got[s][1] == pytest.approx(want[s], abs=1e-6), s
+    with pytest.raises(ValueError):
+        unimax_budgets(df, "lang", budget=0.0)
+    with pytest.raises(ValueError):
+        unimax_budgets(df, "lang", budget=1.0, max_epochs=0.0)
