@@ -4760,6 +4760,89 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5   # 64-dim -> 4 subspaces of 16 dims
+
+
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py ann_topk_pq,
+    Jegou et al. TPAMI 2011): deterministic per-subspace codebooks, m-int
+    codes, query LUT scoring — the compressed-exhaustive-scan complement
+    to the IVF/LSH candidate-pruning paths. Output is (ids, rank) like
+    the IVF row: scores only ORDER the result, so cross-engine fp noise
+    would need two ADC sums within ~1e-15 to matter."""
+    from pagerank_spark.operators.similarity import ann_topk_pq
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_pq(emb, queries, k=_PQ_K, m=_PQ_M, ksub=_PQ_KSUB,
+                       lloyd_iters=1).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def _ann_pq_oracle_sql(dim: int = 64, m: int = _PQ_M,
+                       ksub: int = _PQ_KSUB, k: int = _PQ_K) -> str:
+    """The PQ pipeline replayed in DuckDB: global L2 normalization, the
+    ksub smallest-hash seed rows sliced per subspace, one Lloyd round per
+    subspace under the SAME stable score algebra as the Arrow UDF
+    (x.c - |c|^2/2, ties to the lowest code), corpus codes, per-query
+    LUT, ADC sum, rank window."""
+    h60 = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    dsub = dim // m
+    parts = [
+        ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+         "FROM embeddings WHERE embedding IS NOT NULL)"),
+        ("en AS (SELECT vec_id, list_transform(v, x -> "
+         "x / sqrt(list_inner_product(v, v))) AS v FROM e)"),
+        (f"seed_rows AS (SELECT vec_id, v FROM en "
+         f"ORDER BY {h60}, vec_id LIMIT {ksub})"),
+        (f"seed_codes AS (SELECT row_number() OVER (ORDER BY {h60}, vec_id)"
+         f" - 1 AS code, v FROM seed_rows)"),
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts += [
+            f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM en)",
+            f"sd{s} AS (SELECT code, v[{lo}:{hi}] AS v FROM seed_codes)",
+            (f"a{s} AS (SELECT vec_id, code FROM ("
+             f"SELECT t.vec_id, c.code, row_number() OVER ("
+             f"PARTITION BY t.vec_id ORDER BY "
+             f"list_inner_product(t.v, c.v)"
+             f" - 0.5 * list_inner_product(c.v, c.v) DESC, c.code ASC) AS rn"
+             f" FROM sub{s} t, sd{s} c) WHERE rn = 1)"),
+            (f"mn{s} AS (SELECT a.code, g.i AS pos, avg(t.v[g.i]) AS mval "
+             f"FROM a{s} a JOIN sub{s} t USING (vec_id), "
+             f"generate_series(1, {dsub}) g(i) GROUP BY 1, 2)"),
+            (f"cb{s} AS (SELECT c.code, coalesce(mm.vec, c.v) AS v "
+             f"FROM sd{s} c LEFT JOIN (SELECT code, list(mval ORDER BY pos)"
+             f" AS vec FROM mn{s} GROUP BY code) mm ON mm.code = c.code)"),
+            (f"cs{s} AS (SELECT vec_id, {s} AS s, code FROM ("
+             f"SELECT t.vec_id, c.code, row_number() OVER ("
+             f"PARTITION BY t.vec_id ORDER BY "
+             f"list_inner_product(t.v, c.v)"
+             f" - 0.5 * list_inner_product(c.v, c.v) DESC, c.code ASC) AS rn"
+             f" FROM sub{s} t, cb{s} c) WHERE rn = 1)"),
+            (f"lut{s} AS (SELECT q.vec_id AS query_id, {s} AS s, c.code, "
+             f"list_inner_product(q.v, c.v) AS ip "
+             f"FROM sub{s} q, cb{s} c WHERE q.vec_id < 8)"),
+        ]
+    codes_u = " UNION ALL ".join(f"SELECT * FROM cs{s}" for s in range(m))
+    lut_u = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m))
+    parts += [
+        f"codes AS ({codes_u})",
+        f"lut AS ({lut_u})",
+        ("scored AS (SELECT l.query_id, c.vec_id AS neighbor_id, "
+         "sum(l.ip) AS adc FROM codes c JOIN lut l "
+         "ON l.s = c.s AND l.code = c.code "
+         "WHERE c.vec_id <> l.query_id GROUP BY 1, 2)"),
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+""")
+
+
 # embedding-cosine near-dup: same plane-matrix machinery as ANN-LSH but the
 # dedup front door (operators/dedup.py embedding_near_duplicates, tables=4)
 _EDUP_PLANES, _EDUP_TABLES, _EDUP_SEED = 16, 4, 42
@@ -5043,7 +5126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "anchor_text_index": q_anchor_text_index,
         "streaming_edge_ingest": q_streaming_edge_ingest,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
         "multimodal_features": q_multimodal_features,
         # -- group 2: new since the r04 driver run, or implementation
         #    touched after it (bfs.py visited layers; mst.py final probe;
@@ -5109,6 +5191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via winnow_dedup and r04-green via dedup_minhash_lsh /
         # dedup_ngram_jaccard, and its own r03-green row stands.
         "unimax_budgets": q_unimax_budgets,
+        # similarity_ann_pq (new — product-quantization ADC, the 4th ANN
+        # path) displaced similarity_ann_ivf: the IVF codebook machinery
+        # (seeded Lloyd, _ivf_codebook_ctes) is in-window via
+        # semantic_dedup, which trains and replays the identical
+        # codebook, and ann_ivf's own r03-green row stands.
+        "similarity_ann_pq": q_similarity_ann_pq,
         # -- group 4 (tail, beyond the driver's 50). First, ten
         #    r03-green entries displaced from group 1 to make room for
         #    the new round-5 operators above (a new operator with no driver row at
@@ -5175,6 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_cosine": q_similarity_topk_cosine,
         "graph_contraction": q_graph_contraction,
         "decontaminate": q_decontaminate,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5388,4 +5477,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "kn_perplexity": SQL_KN_PERPLEXITY,
         "unimax_budgets": SQL_UNIMAX_BUDGETS,
+        "similarity_ann_pq": _ann_pq_oracle_sql(),
     }

@@ -12,6 +12,10 @@
   into Voronoi cells; queries probe their ``nprobe`` nearest cells. IVF
   adapts cells to the data distribution (better on clustered corpora);
   LSH needs no training pass. Both share the bucket-equi-join shape.
+* ``ann_topk_pq`` — the compression path: product quantization (Jegou et
+  al. TPAMI 2011). Corpus vectors shrink to m small codes; queries score
+  by LUT lookups (ADC). Linear scan, but over a ~dim*8/m-fold smaller
+  state; compose with IVF cells (IVFADC) for sub-linear candidates.
 
 At 100 TB the corpus side stays partitioned; only query vectors and the
 plane matrix move (broadcast). No Python executes per row — the dot
@@ -221,3 +225,149 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_train(corpus: DataFrame, m: int = 4, ksub: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             lloyd_iters: int = 1, dim: int | None = None) -> np.ndarray:
+    """Deterministic product-quantization codebook (Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the (L2-normalized) vectors into ``m`` contiguous subspaces and
+    learn an independent ``ksub``-centroid codebook per subspace — the
+    same seeded-sample + Lloyd discipline as ``ivf_train_centroids``, but
+    under the EUCLIDEAN metric per subspace (the PQ decomposition needs
+    plain dot products to telescope: q·x ≈ Σ_s q_s·C_s[code_s]).
+
+    Returns the ``(m, ksub, dim/m)`` codebook. All corpus passes are
+    Arrow/JVM; only the codebook (m·ksub·dsub doubles) reaches the
+    driver — the bounded-codebook discipline. Seeds are the ``ksub``
+    corpus vectors of smallest shared-hash(id), each sliced into its m
+    sub-vectors, so every subspace seeds from the same rows (no RNG)."""
+    from pagerank_spark.operators.dedup import shared_hash60
+
+    if dim is None:
+        row = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        dim = len(row[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = (corpus.filter(F.col(vec_col).isNotNull())
+             .orderBy(shared_hash60(F.col(id_col)), F.col(id_col))
+             .select(F.col(vec_col).cast("array<double>").alias("v"))
+             .limit(ksub).collect())
+    S = np.stack([np.asarray(r.v, dtype=np.float64) for r in seeds])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = np.stack([S[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    for _ in range(lloyd_iters):
+        codes = pq_codes(corpus, C, id_col, vec_col)
+        elems = (corpus.filter(F.col(vec_col).isNotNull())
+                 .select(F.col(id_col).alias("id"),
+                         F.posexplode(_l2_normalize(
+                             F.col(vec_col).cast("array<double>")))
+                         .alias("pos", "x")))
+        means = (codes.select("id", F.posexplode("codes").alias("s", "code"))
+                 .join(elems.select(
+                     "id",
+                     F.floor(F.col("pos") / dsub).cast("int").alias("s"),
+                     "pos", "x"),
+                     ["id", "s"])
+                 .groupBy("s", "code", "pos")
+                 .agg(F.avg("x").alias("mval"))
+                 .collect())
+        nc = C.copy()  # cells that lost every member keep their centroid
+        for r in means:
+            nc[r.s, r.code, r.pos - r.s * dsub] = r.mval
+        C = nc
+    return C
+
+
+def _l2_normalize(v):
+    """JVM-side L2 normalization of an array<double> column."""
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def pq_codes(emb: DataFrame, codebook: np.ndarray,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int> length m) — per subspace, the EUCLIDEAN-
+    nearest centroid of the L2-normalized vector's slice; ties to the
+    lowest code (stable argmin). ONE Arrow-batched UDF computes all m
+    subspaces per batch against the closure-captured codebook."""
+    mm, ksub, dsub = codebook.shape
+    CB = codebook.copy()
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = np.empty((M.shape[0], mm), dtype=np.int32)
+        for s in range(mm):
+            sub = M[:, s * dsub:(s + 1) * dsub]          # (batch, dsub)
+            # argmin ||x - c||^2 = argmax (x.c - |c|^2/2); stable ties
+            score = sub @ CB[s].T - 0.5 * (CB[s] ** 2).sum(axis=1)
+            out[:, s] = np.argsort(-score, axis=1, kind="stable")[:, 0]
+        return pd.Series(list(out))
+
+    return (emb.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    _codes(F.col(vec_col).cast("array<double>"))
+                    .alias("codes")))
+
+
+def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                m: int = 4, ksub: int = 8, lloyd_iters: int = 1,
+                codebook: np.ndarray | None = None) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC,
+    Jegou et al. TPAMI 2011 §III): corpus vectors live only as m-byte
+    codes; a query scores a candidate as Σ_s lut_q[s][code_s], where
+    lut_q is the query's (m × ksub) table of exact sub-dot-products
+    against the codebook. Same output schema as ``cosine_topk``
+    (query_id, neighbor_id, cos, rank); ``cos`` is the ADC estimate of
+    the cosine (both sides L2-normalized; the error is the corpus
+    quantization error only).
+
+    Scale shape — the complement of IVF/LSH candidate pruning: PQ is a
+    COMPRESSED EXHAUSTIVE scan (dim doubles -> m ints per corpus row, a
+    ~dim·8/m-fold state reduction), so the scan stays linear but touches
+    a fraction of the bytes. The big (codes) side is pure JVM — the score
+    is one element_at/aggregate over the zipped code array against the
+    BROADCAST per-query LUT; Python runs only on the tiny query side
+    (LUT construction) and in training. Compose with IVF cells for
+    sub-linear candidates (IVFADC) when the corpus outgrows the scan."""
+    if codebook is None:
+        codebook = pq_train(corpus, m=m, ksub=ksub, id_col=id_col,
+                            vec_col=vec_col, lloyd_iters=lloyd_iters)
+    mm, kk, dsub = codebook.shape
+    CB = codebook.copy()
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = np.empty((M.shape[0], mm * kk), dtype=np.float64)
+        for s in range(mm):
+            out[:, s * kk:(s + 1) * kk] = \
+                M[:, s * dsub:(s + 1) * dsub] @ CB[s].T
+        return pd.Series(list(out))
+
+    codes = pq_codes(corpus, codebook, id_col, vec_col)
+    q = (queries.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("query_id"),
+                 _lut(F.col(vec_col).cast("array<double>")).alias("lut")))
+    scored = (
+        codes.select(F.col("id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"),
+                           F.sequence(F.lit(0), F.lit(mm - 1)),
+                           lambda c, s: F.element_at(
+                               F.col("lut"), (s * kk + c + 1).cast("int"))),
+                F.lit(0.0), lambda a, x: a + x).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -125,3 +125,117 @@ def test_ivf_cells_partition_corpus(spark, emb):
     for r in cells:
         sizes[r.cell] = sizes.get(r.cell, 0) + 1
     assert max(sizes.values()) < n               # not all in one cell
+
+
+def _pq_ref(vectors, m, ksub, seeds_idx, lloyd_iters=1):
+    """NumPy replica of pq_train: normalized seeds sliced per subspace,
+    Lloyd rounds with stable argmin by (x.c - |c|^2/2) score."""
+    import numpy as np
+    X = np.asarray(vectors, dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = X.shape[1] // m
+    S = Xn[seeds_idx]
+    C = np.stack([S[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    for _ in range(lloyd_iters):
+        codes = _pq_codes_ref(Xn, C)
+        nc = C.copy()
+        for s in range(m):
+            for c in range(ksub):
+                members = Xn[codes[:, s] == c, s * dsub:(s + 1) * dsub]
+                if len(members):
+                    nc[s, c] = members.mean(axis=0)
+        C = nc
+    return C
+
+
+def _pq_codes_ref(Xn, C):
+    import numpy as np
+    m, ksub, dsub = C.shape
+    out = np.empty((Xn.shape[0], m), dtype=int)
+    for s in range(m):
+        sub = Xn[:, s * dsub:(s + 1) * dsub]
+        score = sub @ C[s].T - 0.5 * (C[s] ** 2).sum(axis=1)
+        out[:, s] = np.argsort(-score, axis=1, kind="stable")[:, 0]
+    return out
+
+
+def _pq_fixture(spark, n=60, dim=16, seed=7):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(4, dim) * 2
+    rows = []
+    for i in range(n):
+        v = centers[i % 4] + rng.randn(dim) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_matches_reference_and_is_deterministic(spark):
+    from pagerank_spark.operators.dedup import shared_hash60  # noqa: F401
+    from pagerank_spark.operators.similarity import pq_train
+    import hashlib
+    import numpy as np
+    rows, df = _pq_fixture(spark)
+    C1 = pq_train(df, m=4, ksub=4)
+    C2 = pq_train(df, m=4, ksub=4)
+    assert C1.shape == (4, 4, 4)
+    assert np.array_equal(C1, C2)
+    # reference: seeds = 4 smallest (md5-hash60, id)
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    seeds_idx = sorted(range(len(rows)), key=lambda i: (h60(i), i))[:4]
+    # float32 storage: the reference must read the same float32-rounded values
+    vecs = [np.asarray(r[1], dtype=np.float32).astype(np.float64)
+            for r in rows]
+    want = _pq_ref(vecs, 4, 4, seeds_idx)
+    assert np.allclose(C1, want, atol=1e-12)
+
+
+def test_pq_codes_match_reference(spark):
+    from pagerank_spark.operators.similarity import pq_codes, pq_train
+    import numpy as np
+    rows, df = _pq_fixture(spark)
+    C = pq_train(df, m=4, ksub=4)
+    got = {r.id: list(r.codes) for r in pq_codes(df, C).collect()}
+    vecs = np.stack([np.asarray(r[1], dtype=np.float32).astype(np.float64)
+                     for r in rows])
+    Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = _pq_codes_ref(Xn, C)
+    for i in range(len(rows)):
+        assert got[i] == list(want[i]), i
+
+
+def test_pq_adc_finds_the_right_cluster_and_scores_match_reference(spark):
+    # within a tight cluster every member shares the same codes, so ADC
+    # cannot rank INSIDE a cell (inherent to PQ — Jegou et al. §III);
+    # the guarantee on this fixture is cluster-level: every approximate
+    # neighbor comes from the query's own cluster (i % 4)
+    from pagerank_spark.operators.similarity import (ann_topk_pq, pq_codes,
+                                                     pq_train)
+    from pyspark.sql import functions as F
+    import numpy as np
+    rows, df = _pq_fixture(spark, n=80)
+    queries = df.filter(F.col("vec_id") < 4)
+    C = pq_train(df, m=4, ksub=8)
+    approx = ann_topk_pq(df, queries, k=5, m=4, ksub=8, codebook=C).collect()
+    assert len(approx) == 20      # 4 queries x 5
+    for r in approx:
+        assert r.neighbor_id % 4 == r.query_id % 4, (r.query_id, r.neighbor_id)
+    # ADC score parity: lut[q, s*ksub + code] summed over s, in float64
+    vecs = np.stack([np.asarray(r[1], dtype=np.float32).astype(np.float64)
+                     for r in rows])
+    Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes = {r.id: list(r.codes) for r in pq_codes(df, C).collect()}
+    for r in approx:
+        q = Xn[r.query_id]
+        want = sum(float(q[s * 4:(s + 1) * 4] @ C[s][codes[r.neighbor_id][s]])
+                   for s in range(4))
+        assert r.cos == pytest.approx(want, abs=1e-9), (r.query_id,
+                                                        r.neighbor_id)
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from pagerank_spark.operators.similarity import pq_train
+    _, df = _pq_fixture(spark, dim=18)
+    with pytest.raises(ValueError):
+        pq_train(df, m=4, ksub=4)
