@@ -4778,68 +4778,120 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
-def _ann_pq_oracle_sql(dim: int = 64, m: int = _PQ_M,
-                       ksub: int = _PQ_KSUB, k: int = _PQ_K) -> str:
-    """The PQ pipeline replayed in DuckDB: global L2 normalization, the
-    ksub smallest-hash seed rows sliced per subspace, one Lloyd round per
+def _pq_ctes(dim: int, m: int, ksub: int) -> list[str]:
+    """Shared DuckDB CTE chain for the PQ pipeline, given a preceding CTE
+    ``e(vec_id, v DOUBLE[])``: global L2 normalization, the ksub
+    smallest-hash seed rows sliced per subspace, one Lloyd round per
     subspace under the SAME stable score algebra as the Arrow UDF
-    (x.c - |c|^2/2, ties to the lowest code), corpus codes, per-query
-    LUT, ADC sum, rank window."""
+    (x.c - |c|^2/2, ties to the lowest code), corpus ``codes`` rows
+    (vec_id, s, code) and per-query ``lut`` rows (query_id, s, code, ip)
+    for queries vec_id < 8. Used by the ann_pq and ann_ivfpq oracles."""
     h60 = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     dsub = dim // m
     parts = [
-        ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-         "FROM embeddings WHERE embedding IS NOT NULL)"),
         ("en AS (SELECT vec_id, list_transform(v, x -> "
          "x / sqrt(list_inner_product(v, v))) AS v FROM e)"),
-        (f"seed_rows AS (SELECT vec_id, v FROM en "
+        (f"pq_seed_rows AS (SELECT vec_id, v FROM en "
          f"ORDER BY {h60}, vec_id LIMIT {ksub})"),
-        (f"seed_codes AS (SELECT row_number() OVER (ORDER BY {h60}, vec_id)"
-         f" - 1 AS code, v FROM seed_rows)"),
+        (f"pq_seeds AS (SELECT row_number() OVER (ORDER BY {h60}, vec_id)"
+         f" - 1 AS code, v FROM pq_seed_rows)"),
     ]
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         parts += [
-            f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM en)",
-            f"sd{s} AS (SELECT code, v[{lo}:{hi}] AS v FROM seed_codes)",
-            (f"a{s} AS (SELECT vec_id, code FROM ("
+            f"psub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM en)",
+            f"psd{s} AS (SELECT code, v[{lo}:{hi}] AS v FROM pq_seeds)",
+            (f"pa{s} AS (SELECT vec_id, code FROM ("
              f"SELECT t.vec_id, c.code, row_number() OVER ("
              f"PARTITION BY t.vec_id ORDER BY "
              f"list_inner_product(t.v, c.v)"
              f" - 0.5 * list_inner_product(c.v, c.v) DESC, c.code ASC) AS rn"
-             f" FROM sub{s} t, sd{s} c) WHERE rn = 1)"),
-            (f"mn{s} AS (SELECT a.code, g.i AS pos, avg(t.v[g.i]) AS mval "
-             f"FROM a{s} a JOIN sub{s} t USING (vec_id), "
+             f" FROM psub{s} t, psd{s} c) WHERE rn = 1)"),
+            (f"pmn{s} AS (SELECT a.code, g.i AS pos, avg(t.v[g.i]) AS mval "
+             f"FROM pa{s} a JOIN psub{s} t USING (vec_id), "
              f"generate_series(1, {dsub}) g(i) GROUP BY 1, 2)"),
-            (f"cb{s} AS (SELECT c.code, coalesce(mm.vec, c.v) AS v "
-             f"FROM sd{s} c LEFT JOIN (SELECT code, list(mval ORDER BY pos)"
-             f" AS vec FROM mn{s} GROUP BY code) mm ON mm.code = c.code)"),
-            (f"cs{s} AS (SELECT vec_id, {s} AS s, code FROM ("
+            (f"pcb{s} AS (SELECT c.code, coalesce(mm.vec, c.v) AS v "
+             f"FROM psd{s} c LEFT JOIN (SELECT code, list(mval ORDER BY pos)"
+             f" AS vec FROM pmn{s} GROUP BY code) mm ON mm.code = c.code)"),
+            (f"pcs{s} AS (SELECT vec_id, {s} AS s, code FROM ("
              f"SELECT t.vec_id, c.code, row_number() OVER ("
              f"PARTITION BY t.vec_id ORDER BY "
              f"list_inner_product(t.v, c.v)"
              f" - 0.5 * list_inner_product(c.v, c.v) DESC, c.code ASC) AS rn"
-             f" FROM sub{s} t, cb{s} c) WHERE rn = 1)"),
-            (f"lut{s} AS (SELECT q.vec_id AS query_id, {s} AS s, c.code, "
+             f" FROM psub{s} t, pcb{s} c) WHERE rn = 1)"),
+            (f"plut{s} AS (SELECT q.vec_id AS query_id, {s} AS s, c.code, "
              f"list_inner_product(q.v, c.v) AS ip "
-             f"FROM sub{s} q, cb{s} c WHERE q.vec_id < 8)"),
+             f"FROM psub{s} q, pcb{s} c WHERE q.vec_id < 8)"),
         ]
-    codes_u = " UNION ALL ".join(f"SELECT * FROM cs{s}" for s in range(m))
-    lut_u = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m))
-    parts += [
-        f"codes AS ({codes_u})",
-        f"lut AS ({lut_u})",
-        ("scored AS (SELECT l.query_id, c.vec_id AS neighbor_id, "
-         "sum(l.ip) AS adc FROM codes c JOIN lut l "
-         "ON l.s = c.s AND l.code = c.code "
-         "WHERE c.vec_id <> l.query_id GROUP BY 1, 2)"),
-    ]
+    codes_u = " UNION ALL ".join(f"SELECT * FROM pcs{s}" for s in range(m))
+    lut_u = " UNION ALL ".join(f"SELECT * FROM plut{s}" for s in range(m))
+    parts += [f"codes AS ({codes_u})", f"lut AS ({lut_u})"]
+    return parts
+
+
+_E_EMB_SQL = ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+              "FROM embeddings WHERE embedding IS NOT NULL)")
+
+
+def _ann_pq_oracle_sql(dim: int = 64, m: int = _PQ_M,
+                       ksub: int = _PQ_KSUB, k: int = _PQ_K) -> str:
+    """The PQ pipeline replayed in DuckDB (see _pq_ctes), exhaustive-scan
+    candidates: every (query, corpus) pair, ADC sum, rank window."""
+    parts = [_E_EMB_SQL, *_pq_ctes(dim, m, ksub),
+             ("scored AS (SELECT l.query_id, c.vec_id AS neighbor_id, "
+              "sum(l.ip) AS adc FROM codes c JOIN lut l "
+              "ON l.s = c.s AND l.code = c.code "
+              "WHERE c.vec_id <> l.query_id GROUP BY 1, 2)")]
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc DESC, neighbor_id ASC) AS rank
   FROM scored) WHERE rank <= {k}
+""")
+
+
+_IVFPQ_NPROBE = 4
+
+
+def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.py ann_topk_ivfpq, Jegou et al. TPAMI
+    2011 SIV — the FAISS IVFx,PQy shape): IVF cells prune candidates to
+    {_IVFPQ_NPROBE} probed cells, PQ/ADC scores the survivors from their
+    m-int codes. Both deterministic codebooks replayed in the oracle."""
+    from pagerank_spark.operators.similarity import ann_topk_ivfpq
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_ivfpq(emb, queries, k=_PQ_K, n_cells=_IVF_CELLS,
+                          nprobe=_IVFPQ_NPROBE, m=_PQ_M, ksub=_PQ_KSUB,
+                          lloyd_iters=1).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def _ann_ivfpq_oracle_sql(dim: int = 64) -> str:
+    """IVFADC replay: the IVF codebook chain prunes candidates (qa/cand,
+    nprobe={_IVFPQ_NPROBE}), the PQ chain scores them (codes/lut/ADC)."""
+    parts = [_E_EMB_SQL,
+             _ivf_codebook_ctes(_IVF_CELLS, dim),
+             (f"qa AS (SELECT vec_id, cell FROM ("
+              f"SELECT e.vec_id, c.cell, row_number() OVER ("
+              f"PARTITION BY e.vec_id ORDER BY "
+              f"list_cosine_similarity(e.v, c.v) DESC, c.cell ASC) AS rn "
+              f"FROM e, c1 c WHERE e.vec_id < 8) WHERE rn <= {_IVFPQ_NPROBE})"),
+             ("cand AS (SELECT DISTINCT qa.vec_id AS query_id, "
+              "ca.vec_id AS neighbor_id FROM qa JOIN ca ON ca.cell = qa.cell "
+              "WHERE ca.vec_id <> qa.vec_id)"),
+             *_pq_ctes(dim, _PQ_M, _PQ_KSUB),
+             ("scored AS (SELECT d.query_id, d.neighbor_id, sum(l.ip) AS adc "
+              "FROM cand d JOIN codes x ON x.vec_id = d.neighbor_id "
+              "JOIN lut l ON l.query_id = d.query_id AND l.s = x.s "
+              "AND l.code = x.code GROUP BY 1, 2)")]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {_PQ_K}
 """)
 
 
@@ -5264,6 +5316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_contraction": q_graph_contraction,
         "decontaminate": q_decontaminate,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        #    similarity_ann_ivfpq (new, late round 5) sits OUT of the
+        #    window: both of its factors hold stronger claims to slots —
+        #    the PQ stage is in-window (similarity_ann_pq) and the IVF
+        #    stage's codebook is in-window via semantic_dedup — and the
+        #    full-probe-equals-pure-PQ equivalence pytest plus the
+        #    repo-local check_entry replay pin the composition itself.
+        "similarity_ann_ivfpq": q_similarity_ann_ivfpq,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5478,4 +5537,5 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity": SQL_KN_PERPLEXITY,
         "unimax_budgets": SQL_UNIMAX_BUDGETS,
         "similarity_ann_pq": _ann_pq_oracle_sql(),
+        "similarity_ann_ivfpq": _ann_ivfpq_oracle_sql(),
     }

@@ -312,9 +312,12 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
           lambda: noop(ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)))
     timed("similarity_ann_ivf",
           lambda: noop(ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)))
-    from pagerank_spark.operators.similarity import ann_topk_pq
+    from pagerank_spark.operators.similarity import ann_topk_ivfpq, ann_topk_pq
     timed("similarity_ann_pq",
           lambda: noop(ann_topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+    timed("similarity_ann_ivfpq",
+          lambda: noop(ann_topk_ivfpq(emb, emb.filter(F.col("vec_id") < 8),
+                                      k=5, nprobe=4)))
     from pagerank_spark.operators.splits import dataset_split
     from pagerank_spark.operators.textops import tfidf_top_terms
     timed("docs_dataset_split", lambda: noop(dataset_split(docs, "doc_id")))

@@ -338,6 +338,25 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if codebook is None:
         codebook = pq_train(corpus, m=m, ksub=ksub, id_col=id_col,
                             vec_col=vec_col, lloyd_iters=lloyd_iters)
+    codes = pq_codes(corpus, codebook, id_col, vec_col)
+    q = _pq_query_luts(queries, codebook, id_col, vec_col)
+    scored = (
+        codes.select(F.col("id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _adc_score_expr(codebook).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _pq_query_luts(queries: DataFrame, codebook: np.ndarray,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, lut array<double> length m*ksub): lut[s*ksub + c] is the
+    exact sub-dot-product of the normalized query's subspace s against
+    centroid c — one Arrow pass over the (small) query side."""
     mm, kk, dsub = codebook.shape
     CB = codebook.copy()
 
@@ -351,21 +370,65 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 M[:, s * dsub:(s + 1) * dsub] @ CB[s].T
         return pd.Series(list(out))
 
+    return (queries.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("query_id"),
+                    _lut(F.col(vec_col).cast("array<double>")).alias("lut")))
+
+
+def _adc_score_expr(codebook: np.ndarray):
+    """ADC sum over columns ``codes`` and ``lut`` — pure JVM array algebra
+    on the big (codes) side."""
+    mm, kk, _ = codebook.shape
+    return F.aggregate(
+        F.zip_with(F.col("codes"),
+                   F.sequence(F.lit(0), F.lit(mm - 1)),
+                   lambda c, s: F.element_at(
+                       F.col("lut"), (s * kk + c + 1).cast("int"))),
+        F.lit(0.0), lambda a, x: a + x)
+
+
+def ann_topk_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_cells: int = 16, nprobe: int = 4,
+                   m: int = 4, ksub: int = 8, lloyd_iters: int = 1,
+                   centroids: np.ndarray | None = None,
+                   codebook: np.ndarray | None = None) -> DataFrame:
+    """IVFADC (Jegou et al. TPAMI 2011 §IV — the standard billion-scale
+    ANN shape, e.g. FAISS's IVFx,PQy): IVF cells prune the candidate set
+    to the query's ``nprobe`` nearest Voronoi cells, then PQ/ADC scores
+    the survivors from their m-int codes — sub-linear candidates AND
+    compressed state, the composition ``ann_topk_pq``'s docstring
+    promises. Same output schema as ``cosine_topk``; both codebooks are
+    the deterministic seeded-Lloyd artifacts of their components, so the
+    whole pipeline is replayable.
+
+    Scale shape: the cell-assignment equi-join is the IVF shape (corpus
+    side bucketed, never re-shuffled between query batches); scoring
+    touches only candidate codes with the broadcast per-query LUT —
+    JVM-side, like ``ann_topk_pq``."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_cells, id_col, vec_col,
+                                        lloyd_iters)
+    if codebook is None:
+        codebook = pq_train(corpus, m=m, ksub=ksub, id_col=id_col,
+                            vec_col=vec_col, lloyd_iters=lloyd_iters)
+    ca = ivf_assignments(corpus, centroids, id_col, vec_col, nprobe=1)
+    qa = ivf_assignments(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cands = (
+        qa.alias("q").join(ca.alias("c"), "cell")
+        .filter(F.col("c.id") != F.col("q.id"))
+        .select(F.col("q.id").alias("query_id"),
+                F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
     codes = pq_codes(corpus, codebook, id_col, vec_col)
-    q = (queries.filter(F.col(vec_col).isNotNull())
-         .select(F.col(id_col).alias("query_id"),
-                 _lut(F.col(vec_col).cast("array<double>")).alias("lut")))
+    q = _pq_query_luts(queries, codebook, id_col, vec_col)
     scored = (
-        codes.select(F.col("id").alias("neighbor_id"), "codes")
-        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.aggregate(
-                F.zip_with(F.col("codes"),
-                           F.sequence(F.lit(0), F.lit(mm - 1)),
-                           lambda c, s: F.element_at(
-                               F.col("lut"), (s * kk + c + 1).cast("int"))),
-                F.lit(0.0), lambda a, x: a + x).alias("cos"))
+        cands.join(codes.select(F.col("id").alias("neighbor_id"), "codes"),
+                   "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                _adc_score_expr(codebook).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))

@@ -239,3 +239,32 @@ def test_pq_dim_not_divisible_raises(spark):
     _, df = _pq_fixture(spark, dim=18)
     with pytest.raises(ValueError):
         pq_train(df, m=4, ksub=4)
+
+
+def test_ivfpq_full_probe_equals_pure_pq(spark):
+    # probing every cell makes the IVF stage a no-op filter, so IVFADC
+    # must reproduce the pure-PQ ranking exactly (same codebook)
+    from pagerank_spark.operators.similarity import (ann_topk_ivfpq,
+                                                     ann_topk_pq, pq_train)
+    from pyspark.sql import functions as F
+    _, df = _pq_fixture(spark, n=60)
+    queries = df.filter(F.col("vec_id") < 3)
+    C = pq_train(df, m=4, ksub=4)
+    pure = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ann_topk_pq(df, queries, k=5, codebook=C).collect()}
+    comp = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ann_topk_ivfpq(df, queries, k=5, n_cells=8, nprobe=8,
+                                    codebook=C).collect()}
+    assert comp == pure
+
+
+def test_ivfpq_prunes_but_stays_in_cluster(spark):
+    from pagerank_spark.operators.similarity import ann_topk_ivfpq
+    from pyspark.sql import functions as F
+    _, df = _pq_fixture(spark, n=80)
+    queries = df.filter(F.col("vec_id") < 4)
+    got = ann_topk_ivfpq(df, queries, k=5, n_cells=8, nprobe=2,
+                         m=4, ksub=8).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r.neighbor_id % 4 == r.query_id % 4, (r.query_id, r.neighbor_id)
