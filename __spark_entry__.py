@@ -434,6 +434,28 @@ def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
             + " UNION ALL ".join(decided) + ")")
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover (operators/matching.py
+    vertex_cover, Gavril): endpoints of the deterministic maximal
+    matching — matched edges are vertex-disjoint, so the union is
+    duplicate-free with no distinct. The oracle is the matching unroll's
+    matched-edge set projected to its endpoints."""
+    from pagerank_spark.operators.matching import vertex_cover
+    res = vertex_cover(_edges(spark, sf_dir))
+    assert res.converged and res.rounds <= MATCHING_ORACLE_ROUNDS, (
+        f"matching took {res.rounds} rounds > "
+        f"{MATCHING_ORACLE_ROUNDS}-round oracle unroll")
+    return res.vertices
+
+
+def _vertex_cover_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
+    """The matching unroll (see _matching_sql) with the cover projection
+    as the final SELECT."""
+    inner = _matching_sql(rounds)
+    return (f"WITH m AS ({inner})\n"
+            f"SELECT a AS id FROM m UNION ALL SELECT b FROM m")
+
+
 # coloring gets its own SPARSER fixture: on the shared MOD-2048 graph the
 # avg degree is ~58 (sf0.01) and ANY greedy colouring serializes on the
 # dense neighbourhoods (measured: pure Jones-Plassmann >60 rounds,
@@ -5323,6 +5345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    full-probe-equals-pure-PQ equivalence pytest plus the
         #    repo-local check_entry replay pin the composition itself.
         "similarity_ann_ivfpq": q_similarity_ann_ivfpq,
+        #    vertex_cover (new, late round 5) likewise sits OUT of the
+        #    window: its ONLY machinery is maximal_matching, which is
+        #    in-window, and the cover projection is pinned by the
+        #    covers-every-edge / 2x-matching pytests + check_entry replay.
+        "vertex_cover": q_vertex_cover,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5538,4 +5565,5 @@ def oracle_sql() -> dict[str, str]:
         "unimax_budgets": SQL_UNIMAX_BUDGETS,
         "similarity_ann_pq": _ann_pq_oracle_sql(),
         "similarity_ann_ivfpq": _ann_ivfpq_oracle_sql(),
+        "vertex_cover": _vertex_cover_sql(),
     }

@@ -297,6 +297,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         docs, ["agg", "dup", "window"], k=25)))
     from pagerank_spark.operators.matching import maximal_matching
     timed("maximal_matching", lambda: noop(maximal_matching(edges).edges))
+    from pagerank_spark.operators.matching import vertex_cover
+    timed("vertex_cover", lambda: noop(vertex_cover(edges).vertices))
     from pagerank_spark.operators.semdedup import semantic_dedup
     timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
     from pagerank_spark.operators.bpe import bpe_encode, bpe_train

@@ -107,3 +107,31 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> MatchingResult:
     return MatchingResult(
         edges=matched.select("a", "b", F.col("round").cast("int").alias("round")),
         rounds=rounds, converged=converged)
+
+
+@dataclass
+class VertexCoverResult:
+    vertices: DataFrame     # (id long) — the cover
+    rounds: int
+    converged: bool
+
+
+def vertex_cover(edges: DataFrame, max_rounds: int = 40) -> VertexCoverResult:
+    """2-approximate minimum vertex cover (Gavril's classic bound, see
+    e.g. Cormen et al. §35.1): take the endpoints of any MAXIMAL matching.
+    Every edge is covered — an uncovered edge would have both endpoints
+    unmatched and could join the matching, contradicting maximality — and
+    the cover has at most 2x the optimum, since the optimum must pick at
+    least one endpoint of each matched edge and matched edges are
+    vertex-disjoint.
+
+    Scale shape: everything is :func:`maximal_matching` (the fixpoint does
+    all the work); the cover itself is one union projection — matched
+    edges are vertex-disjoint, so the union is duplicate-free with NO
+    distinct and no extra shuffle.
+    """
+    res = maximal_matching(edges, max_rounds=max_rounds)
+    verts = (res.edges.select(F.col("a").alias("id"))
+             .unionByName(res.edges.select(F.col("b").alias("id"))))
+    return VertexCoverResult(vertices=verts, rounds=res.rounds,
+                             converged=res.converged)

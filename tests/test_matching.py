@@ -75,3 +75,35 @@ def test_matching_triangle_leaves_one_vertex(spark):
     matched = res.edges.collect()
     assert len(matched) == 1
     _check_valid_maximal(edges, matched)
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    import random
+    from pagerank_spark.operators.matching import vertex_cover
+    rng = random.Random(41)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+    edges = _edges(spark, raw)
+    res = vertex_cover(edges)
+    assert res.converged
+    cover = {r.id for r in res.vertices.collect()}
+    for a, b in raw:
+        if a != b:
+            assert a in cover or b in cover, (a, b)
+
+
+def test_vertex_cover_is_2x_matching_and_duplicate_free(spark):
+    from pagerank_spark.operators.matching import (maximal_matching,
+                                                   vertex_cover)
+    raw = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7)]
+    edges = _edges(spark, raw)
+    n_matched = maximal_matching(edges).edges.count()
+    got = [r.id for r in vertex_cover(edges).vertices.collect()]
+    assert len(got) == len(set(got)) == 2 * n_matched
+
+
+def test_vertex_cover_star_graph_at_most_double_opt(spark):
+    # star: OPT = 1 (the hub); matching can take only one spoke -> |C| = 2
+    from pagerank_spark.operators.matching import vertex_cover
+    edges = _edges(spark, [(0, i) for i in range(1, 8)])
+    cover = {r.id for r in vertex_cover(edges).vertices.collect()}
+    assert len(cover) == 2 and 0 in cover
