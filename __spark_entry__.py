@@ -4868,7 +4868,8 @@ def _ann_pq_oracle_sql(dim: int = 64, m: int = _PQ_M,
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+                            ORDER BY round(adc, 9) DESC, neighbor_id ASC)
+             AS rank
   FROM scored) WHERE rank <= {k}
 """)
 
@@ -4912,7 +4913,8 @@ def _ann_ivfpq_oracle_sql(dim: int = 64) -> str:
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+                            ORDER BY round(adc, 9) DESC, neighbor_id ASC)
+             AS rank
   FROM scored) WHERE rank <= {_PQ_K}
 """)
 

@@ -346,8 +346,18 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select("query_id", "neighbor_id",
                 _adc_score_expr(codebook).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
-                                               F.asc("neighbor_id"))
+    return _adc_rank(scored, k)
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k over ADC scores with the ROUNDED score in the sort key (the
+    pmi_collocations discipline): the codebook reaches the score through
+    a driver-side Lloyd mean whose avg() summation order varies run to
+    run, so raw ADC sums carry ~1e-15 run/engine noise — ranking on
+    round(cos, 9) makes the k-boundary the same total order everywhere
+    (ties at the 1e-9 grid break by neighbor_id in both engines)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -430,7 +440,4 @@ def ann_topk_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select("query_id", "neighbor_id",
                 _adc_score_expr(codebook).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _adc_rank(scored, k)
