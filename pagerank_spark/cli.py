@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "mcpagerank", "node2vec", "seededlp", "katz",
                             "redirects", "eigenvector", "sssp", "mis", "mst",
                             "densest", "matching", "coloring", "partition",
-                            "pprpush", "sweepcut"],
+                            "pprpush", "sweepcut", "vertexcover",
+                            "landmarks"],
                    default="pagerank",
                    help="algorithm to run over the loaded edge table; "
                         "max_iteration caps rounds/iterations/hops for the "
@@ -211,6 +212,16 @@ def _run_algo(spark, graph, args, raw_edges=None) -> int:
         out = res.colors
         tail = (f"rounds={res.rounds} n_colors={res.n_colors} "
                 f"converged={res.converged}")
+    elif args.algo == "vertexcover":
+        from pagerank_spark.operators.matching import vertex_cover
+        res = vertex_cover(edges, max_rounds=args.max_iteration)
+        out, tail = res.vertices, f"rounds={res.rounds} converged={res.converged}"
+    elif args.algo == "landmarks":
+        from pagerank_spark.operators.bfs import landmark_bfs
+        lms = [int(x) for x in args.source.split(",")]
+        res = landmark_bfs(edges, lms, max_hops=args.max_iteration)
+        out = res.distances
+        tail = f"landmarks={len(lms)} rounds={res.rounds} exhausted={res.exhausted}"
     elif args.algo == "partition":
         from pagerank_spark.operators.partition import balanced_partition
         out = balanced_partition(edges, k=max(args.k, 2),

@@ -141,3 +141,86 @@ def test_neighbor_sampling_matches_python_on_arbitrary_graphs(spark, edges,
     got = {(r.hop, r.src, r.dst)
            for r in sample_neighbors(e, sdf, [2, 2], seed=samp_seed).collect()}
     assert got == sampling_oracle(edges, seeds, [2, 2], samp_seed)
+
+
+@seed(42)
+@PROP
+@given(edges=GRAPH)
+def test_distance_oracle_upper_bound_property(spark, edges):
+    """est(u,v) >= d(u,v) on arbitrary graphs (triangle inequality), for
+    every pair the oracle answers."""
+    from pagerank_spark.operators.bfs import (bfs_hops,
+                                              distance_oracle_estimate,
+                                              landmark_bfs)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fwd = landmark_bfs(e, [0, 1], max_hops=N).distances
+    rev = e.selectExpr("dst AS src", "src AS dst")
+    bwd = landmark_bfs(rev, [0, 1], max_hops=N).distances
+    pairs = spark.createDataFrame(
+        [(u, v) for u in range(4) for v in range(4) if u != v],
+        "u long, v long")
+    est = {(r.u, r.v): r.est
+           for r in distance_oracle_estimate(fwd, pairs, to_lm=bwd).collect()}
+    for u in range(4):
+        truth = {r.id: r.dist
+                 for r in bfs_hops(e, [u], max_hops=2 * N).distances.collect()}
+        for v in range(4):
+            if (u, v) in est:
+                assert v in truth and est[(u, v)] >= truth[v], (u, v)
+
+
+@seed(42)
+@PROP
+@given(edges=GRAPH)
+def test_vertex_cover_property(spark, edges):
+    """The cover covers every non-loop edge and is exactly the matched
+    endpoints (duplicate-free, 2x matching size)."""
+    from pagerank_spark.operators.matching import (maximal_matching,
+                                                   vertex_cover)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cover = [r.id for r in vertex_cover(e).vertices.collect()]
+    assert len(cover) == len(set(cover))
+    assert len(cover) == 2 * maximal_matching(e).edges.count()
+    cset = set(cover)
+    for a, b in edges:
+        if a != b:
+            assert a in cset or b in cset, (a, b)
+
+
+@seed(42)
+@PROP
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+                      min_size=1, max_size=8))
+def test_kn_perplexity_at_least_one(spark, texts):
+    """Every probability is <= 1, so per-doc entropy >= 0 and ppl >= 1
+    for any doc with bigrams (0.0 sentinel otherwise) — on arbitrary
+    corpora, self-trained."""
+    from pagerank_spark.operators.textops import kn_perplexity
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    for r in kn_perplexity(docs).collect():
+        if r.n_bigrams:
+            assert r.ppl >= 1.0, (r.doc_id, r.ppl)
+        else:
+            assert r.ppl == 0.0
+
+
+@seed(42)
+@PROP
+@given(sizes=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+       budget=st.floats(1.0, 500.0),
+       epochs=st.floats(0.25, 4.0))
+def test_unimax_budget_identity(spark, sizes, budget, epochs):
+    """Sum of allocations = min(budget, epochs * total); every stratum
+    respects the epoch cap."""
+    from pagerank_spark.operators.splits import unimax_budgets
+    rows = [(f"s{i}-{j}", f"s{i}") for i, n in enumerate(sizes)
+            for j in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    alloc = unimax_budgets(df, "lang", budget=budget,
+                           max_epochs=epochs).collect()
+    total = sum(r.budget_s for r in alloc)
+    want = min(budget, epochs * sum(sizes))
+    assert abs(total - want) < 1e-4, (total, want)
+    for r in alloc:
+        assert r.epochs_s <= epochs + 1e-9

@@ -218,6 +218,8 @@ def test_cli_mm_values_weighted_run(spark, tmp_path):
     ("pprpush", ["--source", "0"], {"id", "p", "r"}),
     ("sweepcut", ["--source", "0"],
      {"k", "id", "p", "d", "volume", "cut", "conductance"}),
+    ("vertexcover", [], {"id"}),
+    ("landmarks", ["--source", "0,2"], {"lm", "id", "dist"}),
 ])
 def test_cli_algo_dispatch(spark, tmp_path, g6_file, algo, extra, check_cols):
     from pagerank_spark.cli import main
