@@ -1208,15 +1208,13 @@ def q_distance_oracle_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse-edge BFS — then answers every pair with two hash joins and a
     min aggregate, no traversal."""
     from pagerank_spark.operators.bfs import (distance_oracle_estimate,
-                                              landmark_bfs)
+                                              landmark_tables)
     e = _edges(spark, sf_dir)
     verts = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     lms = verts.orderBy("id").limit(LANDMARK_K)
-    fwd = landmark_bfs(e, lms, max_hops=LANDMARK_HOPS).distances
-    bwd = landmark_bfs(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")),
-                       lms, max_hops=LANDMARK_HOPS).distances
+    # both tables from ONE shared fixpoint (parity-doubled id space)
+    fwd, bwd, _ = landmark_tables(e, lms, max_hops=LANDMARK_HOPS)
     ordered = verts.orderBy("id").limit(2 * DIST_PAIRS_N).collect()
     us = [r["id"] for r in ordered[:DIST_PAIRS_N]]
     vs = [r["id"] for r in ordered[DIST_PAIRS_N:]]

@@ -120,11 +120,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         edges, [1, 2, 3, 4], max_hops=8).distances))
 
     def _dist_oracle():
-        # build both oracle tables (fwd + reversed), answer a 32x32 grid
-        fwd = landmark_bfs(edges, [1, 2, 3, 4], max_hops=8).distances
-        bwd = landmark_bfs(edges.select(F.col("dst").alias("src"),
-                                        F.col("src").alias("dst")),
-                           [1, 2, 3, 4], max_hops=8).distances
+        # both oracle tables from ONE shared fixpoint, answer a 32x32 grid
+        from pagerank_spark.operators.bfs import landmark_tables
+        fwd, bwd, _ = landmark_tables(edges, [1, 2, 3, 4], max_hops=8)
         pairs = spark.range(32).selectExpr("id AS u").crossJoin(
             spark.range(32, 64).selectExpr("id AS v"))
         noop(distance_oracle_estimate(fwd, pairs, to_lm=bwd))

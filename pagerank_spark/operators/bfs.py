@@ -205,3 +205,54 @@ def distance_oracle_estimate(
         .groupBy("u", "v")
         .agg(F.min(F.col("du") + F.col("dv")).cast("int").alias("est"))
     )
+
+
+def landmark_tables(
+    edges: DataFrame,
+    landmarks: Sequence[int] | DataFrame,
+    max_hops: int = 20,
+) -> tuple[DataFrame, DataFrame, LandmarkResult]:
+    """Both landmark tables a DIRECTED distance oracle needs — forward
+    d(lm -> id) and reverse d(id -> lm) — from ONE shared BFS fixpoint.
+
+    The graph and its reverse are embedded as the even/odd halves of a
+    doubled id space (id -> 2id for G, 2id+1 for G^R); BFS never crosses
+    parity, so a single :func:`landmark_bfs` over the doubled edge table
+    expands BOTH directions' frontiers with one edge join per superstep
+    instead of running two sequential fixpoints (halving the per-round
+    job count — at small scale the fixed per-job cost dominates; at scale
+    the two halves fill each other's idle slots). Decode is id
+    arithmetic.
+
+    Returns ``(forward, reverse, raw)`` where both tables have the
+    (lm, id, dist) layout :func:`distance_oracle_estimate` consumes and
+    ``raw`` is the underlying doubled-space LandmarkResult (rounds =
+    max over both directions).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    doubled = (
+        e.select((F.col("src") * 2).alias("src"),
+                 (F.col("dst") * 2).alias("dst"))
+        .unionAll(e.select((F.col("dst") * 2 + 1).alias("src"),
+                           (F.col("src") * 2 + 1).alias("dst")))
+    )
+    if isinstance(landmarks, DataFrame):
+        base = landmarks.select(
+            F.col(landmarks.columns[0]).alias("lm")).distinct()
+        lm2 = (base.select((F.col("lm") * 2).alias("lm"))
+               .unionAll(base.select((F.col("lm") * 2 + 1).alias("lm"))))
+    else:
+        uniq = sorted({int(s) for s in landmarks})
+        lm2 = spark.createDataFrame(
+            [(v,) for s in uniq for v in (2 * s, 2 * s + 1)], "lm long")
+    raw = landmark_bfs(doubled, lm2, max_hops=max_hops)
+
+    def _half(parity: int) -> DataFrame:
+        return (raw.distances
+                .filter(F.col("lm").bitwiseAND(1) == parity)
+                .select(F.shiftright("lm", 1).alias("lm"),
+                        F.shiftright("id", 1).alias("id"),
+                        "dist"))
+
+    return _half(0), _half(1), raw

@@ -272,3 +272,22 @@ def test_distance_oracle_estimate_silent_when_no_common_landmark(spark):
     got = {(r.u, r.v): r.est
            for r in distance_oracle_estimate(dist, pairs).collect()}
     assert got == {(0, 1): 1}
+
+
+def test_landmark_tables_match_two_separate_fixpoints(spark):
+    from pagerank_spark.operators.bfs import landmark_bfs, landmark_tables
+    edges = spark.createDataFrame(_random_edges(70, 180, 37),
+                                  "src long, dst long")
+    fwd, bwd, raw = landmark_tables(edges, [0, 3, 9], max_hops=10)
+    want_f = landmark_bfs(edges, [0, 3, 9], max_hops=10).distances
+    rev = edges.selectExpr("dst AS src", "src AS dst")
+    want_b = landmark_bfs(rev, [0, 3, 9], max_hops=10).distances
+    assert sorted((r.lm, r.id, r.dist) for r in fwd.collect()) \
+        == sorted((r.lm, r.id, r.dist) for r in want_f.collect())
+    assert sorted((r.lm, r.id, r.dist) for r in bwd.collect()) \
+        == sorted((r.lm, r.id, r.dist) for r in want_b.collect())
+    # DataFrame landmark input decodes identically
+    lm_df = spark.createDataFrame([(0,), (3,), (9,)], "id long")
+    fwd2, _, _ = landmark_tables(edges, lm_df, max_hops=10)
+    assert sorted((r.lm, r.id, r.dist) for r in fwd2.collect()) \
+        == sorted((r.lm, r.id, r.dist) for r in want_f.collect())
