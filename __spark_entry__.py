@@ -1729,6 +1729,88 @@ def _random_walks_oracle_sql(length: int, walks_r: int, seed: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+SIMRANK_C = 0.8
+SIMRANK_LEN = 4
+SIMRANK_WALKS = 8
+SIMRANK_PAIRS_N = 8   # query grid: 8 smallest ids x the next 8
+
+
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo SimRank for a deterministic query-pair grid
+    (operators/simrank.py, Fogaras-Racz WWW 2005): coupled reverse walks
+    — the pick hashes (serial, step, CURRENT vertex) only, so walks are
+    independent apart and coalesce on meeting — averaged as c^tau over
+    first meetings. The oracle replays the coupled walks, the meeting
+    join, and the power sum."""
+    from pagerank_spark.operators.simrank import simrank_mc
+    e = _edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    ordered = verts.orderBy("id").limit(2 * SIMRANK_PAIRS_N).collect()
+    us = [r["id"] for r in ordered[:SIMRANK_PAIRS_N]]
+    vs = [r["id"] for r in ordered[SIMRANK_PAIRS_N:]]
+    pairs = spark.createDataFrame([(u, v) for u in us for v in vs],
+                                  "u long, v long")
+    return simrank_mc(e, pairs, c=SIMRANK_C, walk_length=SIMRANK_LEN,
+                      walks=SIMRANK_WALKS, seed=WALK_SEED)
+
+
+def _simrank_oracle_sql(length: int = SIMRANK_LEN,
+                        walks_r: int = SIMRANK_WALKS,
+                        seed: int | None = None) -> str:
+    """Coupled-walk replay on the REVERSED edge table (no start in the
+    hash), then the meeting join + min-tau + power-sum algebra of
+    simrank_mc."""
+    if seed is None:
+        seed = WALK_SEED
+    rs = " UNION ALL ".join(
+        f"SELECT {i} AS r" if i == 0 else f"SELECT {i}"
+        for i in range(walks_r))
+    n = SIMRANK_PAIRS_N
+    parts = [
+        _E_SQL,
+        ("re AS (SELECT l_orderkey % {m} AS src, l_partkey % {m} AS dst "
+         "FROM lineitem)").format(m=MOD),
+        "uu AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        f"pu AS (SELECT id AS u FROM uu ORDER BY id LIMIT {n})",
+        f"pv AS (SELECT id AS v FROM uu ORDER BY id LIMIT {n} OFFSET {n})",
+        "qp AS (SELECT u, v FROM pu, pv)",
+        "st AS (SELECT u AS id FROM qp UNION SELECT v FROM qp)",
+        ("adj AS (SELECT src, dst, "
+         "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+         "count(*) OVER (PARTITION BY src) AS deg FROM re)"),
+        "dgw AS (SELECT DISTINCT src, deg FROM adj)",
+        (f"s0 AS (SELECT st.id AS start_id, w.r AS walk, 0 AS step, "
+         f"st.id AS vertex FROM st CROSS JOIN ({rs}) w)"),
+    ]
+    for k in range(1, length + 1):
+        h = (f"('0x' || substr(md5(s.walk || ':{k}:' "
+             f"|| s.vertex || ':{seed}'), 1, 15))::BIGINT")
+        parts.append(
+            f"s{k} AS (SELECT s.start_id, s.walk, {k} AS step, a.dst AS vertex "
+            f"FROM s{k - 1} s JOIN dgw d ON d.src = s.vertex "
+            f"JOIN adj a ON a.src = s.vertex AND a.idx = ({h} % d.deg))")
+    union = " UNION ALL ".join(
+        f"SELECT start_id, walk, step, vertex FROM s{k}"
+        for k in range(1, length + 1))
+    parts += [
+        f"wk AS ({union})",
+        ("tau AS (SELECT q.u, q.v, a.walk, min(a.step) AS tau "
+         "FROM qp q JOIN wk a ON a.start_id = q.u "
+         "JOIN wk b ON b.start_id = q.v AND b.walk = a.walk "
+         "AND b.step = a.step AND b.vertex = a.vertex "
+         "GROUP BY 1, 2, 3)"),
+        (f"met AS (SELECT u, v, count(*) AS n_meets, "
+         f"sum(power({SIMRANK_C}, tau)) AS mass FROM tau GROUP BY 1, 2)"),
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT q.u, q.v,
+       CAST(coalesce(m.n_meets, 0) AS INT) AS n_meets,
+       round(coalesce(m.mass, 0.0) / {float(walks_r)}, 6) AS simrank
+FROM qp q LEFT JOIN met m ON m.u = q.u AND m.v = q.v
+""")
+
+
 WW_W = "1 + (src + dst) % 3"   # integer anchor-quality walk weight, 1..3
 
 
@@ -5350,6 +5432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window, and the cover projection is pinned by the
         #    covers-every-edge / 2x-matching pytests + check_entry replay.
         "vertex_cover": q_vertex_cover,
+        #    simrank (new, late round 5 — Fogaras-Racz MC SimRank) also
+        #    sits out of the window: its walk machinery is the r04-green
+        #    random_walks/node2vec family (same adjacency index and hash
+        #    pick, minus the start term), pinned here by the Python-
+        #    reference pytest + the check_entry replay.
+        "simrank": q_simrank,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5566,4 +5654,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_pq": _ann_pq_oracle_sql(),
         "similarity_ann_ivfpq": _ann_ivfpq_oracle_sql(),
         "vertex_cover": _vertex_cover_sql(),
+        "simrank": _simrank_oracle_sql(),
     }

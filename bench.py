@@ -297,6 +297,11 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("maximal_matching", lambda: noop(maximal_matching(edges).edges))
     from pagerank_spark.operators.matching import vertex_cover
     timed("vertex_cover", lambda: noop(vertex_cover(edges).vertices))
+    from pagerank_spark.operators.simrank import simrank_mc
+    sr_pairs = spark.range(8).selectExpr("id AS u").crossJoin(
+        spark.range(8, 16).selectExpr("id AS v"))
+    timed("simrank_mc", lambda: noop(simrank_mc(
+        edges, sr_pairs, walk_length=4, walks=8)))
     from pagerank_spark.operators.semdedup import semantic_dedup
     timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
     from pagerank_spark.operators.bpe import bpe_encode, bpe_train

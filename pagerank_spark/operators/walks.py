@@ -143,6 +143,7 @@ def random_walks(
     seed: int = 42,
     starts: DataFrame | None = None,
     weight_col: str | None = None,
+    coupled: bool = False,
 ) -> DataFrame:
     """Generate walks; returns ``(start_id, walk, step, vertex)`` rows.
 
@@ -151,6 +152,14 @@ def random_walks(
     the start itself. The neighbor picked at step k is
     ``H(start:walk:k:cur:seed) mod out_deg(cur)`` with H the cross-engine
     60-bit md5 hash — deterministic and SQL-reproducible.
+
+    ``coupled=True`` drops ``start`` from the hash: the pick becomes a
+    function of (walk, step, CURRENT vertex) alone, so all serial-r
+    walkers standing on the same vertex at the same step move together —
+    the shared-randomness coupling of Fogaras-Racz fingerprints (WWW
+    2005): two walks are independent while apart (different vertices ->
+    different hash inputs) and COALESCE forever once they meet, exactly
+    the first-meeting-time semantics MC SimRank needs.
 
     ``weight_col``: integer edge weights 1..MAX_WALK_WEIGHT (e.g. an
     anchor-quality score) bias the pick weight-proportionally via the
@@ -186,16 +195,15 @@ def random_walks(
     ).localCheckpoint(eager=True)
     out = [state]
     for k in range(1, walk_length + 1):
-        pick = shared_hash60(
-            F.concat_ws(
-                ":",
-                F.col("start_id").cast("string"),
-                F.col("walk").cast("string"),
-                F.lit(str(k)),
-                F.col("vertex").cast("string"),
-                F.lit(str(seed)),
-            )
-        ) % F.col("deg")
+        hash_fields = [
+            F.col("walk").cast("string"),
+            F.lit(str(k)),
+            F.col("vertex").cast("string"),
+            F.lit(str(seed)),
+        ]
+        if not coupled:
+            hash_fields.insert(0, F.col("start_id").cast("string"))
+        pick = shared_hash60(F.concat_ws(":", *hash_fields)) % F.col("deg")
         nxt = (
             state.join(deg.hint("shuffle_hash"),
                        state.vertex == deg.src)
