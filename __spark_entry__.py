@@ -4865,6 +4865,63 @@ SELECT query_id, neighbor_id, rank FROM (
 _PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5   # 64-dim -> 4 subspaces of 16 dims
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve (operators/graphstats.py rich_club,
+    Zhou-Mondragon 2004): phi(k) at every distinct-degree threshold —
+    whole curve from two suffix-summed histograms, one pass, no per-k
+    iteration."""
+    from pagerank_spark.operators.graphstats import rich_club
+    return rich_club(_edges(spark, sf_dir))
+
+
+SQL_RICH_CLUB = f"""
+WITH {_E_SQL}, {_S_SQL},
+deg AS (SELECT id, count(*) AS d FROM
+        (SELECT a AS id FROM s UNION ALL SELECT b FROM s) t GROUP BY id),
+vh AS (SELECT d, count(*) AS nv FROM deg GROUP BY d),
+em AS (SELECT least(da.d, db.d) AS d, count(*) AS ne
+       FROM s JOIN deg da ON da.id = s.a JOIN deg db ON db.id = s.b
+       GROUP BY 1),
+h AS (SELECT coalesce(vh.d, em.d) AS d, coalesce(nv, 0) AS nv,
+             coalesce(ne, 0) AS ne
+      FROM vh FULL JOIN em ON em.d = vh.d),
+curve AS (SELECT d - 1 AS k,
+                 sum(nv) OVER (ORDER BY d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_rich,
+                 sum(ne) OVER (ORDER BY d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS e_rich
+          FROM h)
+SELECT k, CAST(n_rich AS BIGINT) AS n_rich, CAST(e_rich AS BIGINT) AS e_rich,
+       round(2.0 * e_rich / (n_rich * (n_rich - 1)), 6) AS phi
+FROM curve WHERE n_rich >= 2
+"""
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus clustering as a first-class curation surface
+    (cluster-balanced sampling / SemDeDup prep): the deterministic
+    seeded-Lloyd IVF codebook assigns every embedding its cell — the
+    exact pipeline similarity.ivf_train_centroids/ivf_assignments runs,
+    exposed (and driver-checked) as the full assignment table."""
+    from pagerank_spark.operators.similarity import (ivf_assignments,
+                                                     ivf_train_centroids)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = ivf_train_centroids(emb, n_cells=_IVF_CELLS, lloyd_iters=1)
+    return (ivf_assignments(emb, C, nprobe=1)
+            .select(F.col("id").alias("vec_id"), "cell"))
+
+
+def _embedding_clusters_sql(dim: int = 64) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+{_ivf_codebook_ctes(_IVF_CELLS, dim)}
+SELECT vec_id, cell FROM ca
+"""
+
+
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.py ann_topk_pq,
     Jegou et al. TPAMI 2011): deterministic per-subspace codebooks, m-int
@@ -5438,6 +5495,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pick, minus the start term), pinned here by the Python-
         #    reference pytest + the check_entry replay.
         "simrank": q_simrank,
+        #    rich_club and embedding_clusters (new, late round 5) also
+        #    out-of-window: rich_club is two histograms over the
+        #    degree machinery the in-window graph rows pin;
+        #    embedding_clusters IS the semantic_dedup codebook pipeline
+        #    (in-window) exposed as its assignment table.
+        "rich_club": q_rich_club,
+        "embedding_clusters": q_embedding_clusters,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5655,4 +5719,6 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_ivfpq": _ann_ivfpq_oracle_sql(),
         "vertex_cover": _vertex_cover_sql(),
         "simrank": _simrank_oracle_sql(),
+        "rich_club": SQL_RICH_CLUB,
+        "embedding_clusters": _embedding_clusters_sql(),
     }

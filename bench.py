@@ -221,6 +221,8 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.partition import balanced_partition
     timed("balanced_partition", lambda: noop(balanced_partition(
         edges, k=8, rounds=4)))
+    from pagerank_spark.operators.graphstats import rich_club
+    timed("rich_club", lambda: noop(rich_club(edges)))
     timed("degree_distribution", lambda: noop(degree_distribution(
         edges, universe=g.vertices.select("id"))))
     from pagerank_spark.operators.ppr_batch import personalized_pagerank_batch
@@ -320,6 +322,13 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.similarity import ann_topk_ivfpq, ann_topk_pq
     timed("similarity_ann_pq",
           lambda: noop(ann_topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)))
+    from pagerank_spark.operators.similarity import (ivf_assignments,
+                                                     ivf_train_centroids)
+
+    def _clusters():
+        C = ivf_train_centroids(emb, n_cells=16, lloyd_iters=1)
+        noop(ivf_assignments(emb, C, nprobe=1))
+    timed("embedding_clusters", _clusters)
     timed("similarity_ann_ivfpq",
           lambda: noop(ann_topk_ivfpq(emb, emb.filter(F.col("vec_id") < 8),
                                       k=5, nprobe=4)))

@@ -266,3 +266,58 @@ def powerlaw_tail_fit(edges: DataFrame, dmin: int = 5) -> DataFrame:
         F.round(F.when(F.col("lnsum") > 0,
                        F.lit(1.0) + F.col("n_tail") / F.col("lnsum"))
                 .otherwise(F.lit(0.0)), 6).alias("alpha")).orderBy("deg_type")
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragon, IEEE Comm. Lett.
+    2004): for each degree threshold k, phi(k) = 2*E_k / (N_k*(N_k-1))
+    where N_k counts vertices of undirected simple degree > k and E_k the
+    edges with BOTH endpoints above k — "do the hubs link to each other
+    more than random?" (web graphs famously do; the normalized variant of
+    Colizza et al. 2006 additionally divides by a degree-preserving
+    rewired null model, which needs a randomized reference graph and is
+    out of scope here — documented, not hidden).
+
+    Returns ``(k, n_rich, e_rich, phi)`` at every threshold where the
+    curve can change value and N_k >= 2 — i.e. k in {d - 1 : d a distinct
+    degree} — phi rounded to 6 dp.
+
+    Scale shape — ONE pass, no per-k iteration: an edge survives
+    threshold k iff min(deg_a, deg_b) > k and a vertex iff deg > k, so
+    the whole curve falls out of two HISTOGRAMS (vertex degrees; per-edge
+    min endpoint degree) suffix-summed with a window over
+    distinct-degree-count rows (degree-distribution-sized, ~O(sqrt E) in
+    practice — the same frame degree_distribution already materializes).
+    The only E-scale work is the simple-graph projection, one degree
+    aggregate, and one J1-shaped degree join per endpoint.
+    """
+    s = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+         .distinct())
+    deg = (s.select(F.col("a").alias("id"))
+           .unionAll(s.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    vh = deg.groupBy("d").agg(F.count(F.lit(1)).alias("nv"))
+    em = (s.join(deg.select(F.col("id").alias("a"),
+                            F.col("d").alias("da")), "a")
+          .join(deg.select(F.col("id").alias("b"),
+                           F.col("d").alias("db")), "b")
+          .select(F.least("da", "db").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).alias("ne")))
+    # suffix sums over the merged distinct-degree frame: N_k / E_k for
+    # k = d - 1 are the totals at degrees >= d
+    h = (vh.join(em, "d", "full")
+         .select("d", F.coalesce("nv", F.lit(0)).alias("nv"),
+                 F.coalesce("ne", F.lit(0)).alias("ne")))
+    w = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    curve = h.select(
+        (F.col("d") - 1).alias("k"),
+        F.sum("nv").over(w).alias("n_rich"),
+        F.sum("ne").over(w).alias("e_rich"))
+    return (curve.filter(F.col("n_rich") >= 2)
+            .select("k", "n_rich", "e_rich",
+                    F.round(2.0 * F.col("e_rich")
+                            / (F.col("n_rich") * (F.col("n_rich") - 1)), 6)
+                    .alias("phi")))

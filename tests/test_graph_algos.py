@@ -428,3 +428,40 @@ def test_densest_rejects_bad_epsilon(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         densest_subgraph(df, epsilon=0.0)
+
+
+def _rich_club_ref(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in {d - 1 for d in deg.values()}:
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        out[k] = (len(rich), ek,
+                  round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6))
+    return out
+
+
+def test_rich_club_matches_reference(spark):
+    import random
+    from pagerank_spark.operators.graphstats import rich_club
+    rng = random.Random(61)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.k: (r.n_rich, r.e_rich, r.phi) for r in rich_club(df).collect()}
+    assert got == _rich_club_ref(edges)
+
+
+def test_rich_club_clique_plus_pendants_is_one_at_top(spark):
+    from pagerank_spark.operators.graphstats import rich_club
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendants = [(0, 10), (1, 11), (2, 12)]
+    df = spark.createDataFrame(clique + pendants, "src long, dst long")
+    got = {r.k: r.phi for r in rich_club(df).collect()}
+    # above k=2 only the three degree-4 clique vertices remain, fully linked
+    assert got[2] == 1.0
