@@ -3927,7 +3927,7 @@ UNIMAX_EPOCHS = 1.0
 
 
 def q_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniMax sampling-budget allocation (operators/splits.py
+    f"""UniMax sampling-budget allocation (operators/splits.py
     unimax_budgets, Chung et al. ICLR 2023): char-weighted per-language
     budgets under a {UNIMAX_EPOCHS}-epoch cap. At sf0.01 the
     {UNIMAX_BUDGET:.0f}-char budget caps every minority language at full
@@ -3971,7 +3971,7 @@ KN_TARGET_MOD = 5    # target (clean) corpus = docs with doc_id % 5 == 0
 
 
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney perplexity (operators/textops.py
+    f"""Interpolated Kneser-Ney perplexity (operators/textops.py
     kn_perplexity — the KenLM smoothing family, the actual CCNet stage-3
     shape): LM trained on the doc_id % {KN_TARGET_MOD} == 0 target
     slice, every document scored against it — so unseen bigrams, unseen
@@ -5015,7 +5015,7 @@ _IVFPQ_NPROBE = 4
 
 
 def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC (operators/similarity.py ann_topk_ivfpq, Jegou et al. TPAMI
+    f"""IVFADC (operators/similarity.py ann_topk_ivfpq, Jegou et al. TPAMI
     2011 SIV — the FAISS IVFx,PQy shape): IVF cells prune candidates to
     {_IVFPQ_NPROBE} probed cells, PQ/ADC scores the survivors from their
     m-int codes. Both deterministic codebooks replayed in the oracle."""
@@ -5029,7 +5029,7 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivfpq_oracle_sql(dim: int = 64) -> str:
-    """IVFADC replay: the IVF codebook chain prunes candidates (qa/cand,
+    f"""IVFADC replay: the IVF codebook chain prunes candidates (qa/cand,
     nprobe={_IVFPQ_NPROBE}), the PQ chain scores them (codes/lut/ADC)."""
     parts = [_E_EMB_SQL,
              _ivf_codebook_ctes(_IVF_CELLS, dim),

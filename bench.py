@@ -307,9 +307,13 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     from pagerank_spark.operators.semdedup import semantic_dedup
     timed("semantic_dedup", lambda: noop(semantic_dedup(emb, threshold=0.9)))
     from pagerank_spark.operators.bpe import bpe_encode, bpe_train
-    timed("bpe_merges", lambda: noop(bpe_train(docs, merges=10).merges))
-    bpe_trained = bpe_train(docs, merges=10)
-    timed("bpe_encode", lambda: noop(bpe_encode(docs, bpe_trained)))
+    bpe_holder = {}
+
+    def _bpe_train():
+        bpe_holder["res"] = bpe_train(docs, merges=10)
+        noop(bpe_holder["res"].merges)
+    timed("bpe_merges", _bpe_train)
+    timed("bpe_encode", lambda: noop(bpe_encode(docs, bpe_holder["res"])))
     timed("dedup_minhash_lsh", lambda: noop(near_duplicates_minhash(docs, threshold=0.5)))
     timed("dedup_simhash", lambda: noop(simhash_near_duplicates(docs, max_hamming=3)))
     timed("similarity_topk",

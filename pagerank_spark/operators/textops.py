@@ -467,7 +467,10 @@ def kn_perplexity(docs: DataFrame, target: DataFrame | None = None,
                     F.countDistinct("cur").alias("cont_types")).collect()[0]
     denom = float(totals["bigram_types"] + totals["cont_types"] + 1)
 
-    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    # self-trained call: the scoring bigram table IS the training one —
+    # reuse the plan instead of tokenizing the corpus a second E-scale pass
+    bg = tbg if target is None else doc_bigrams(docs, id_col=id_col,
+                                                text_col=text_col)
     p_cont = (F.coalesce(F.col("n1p_back"), F.lit(0)) + 1) / F.lit(denom)
     lam = F.lit(d) * F.col("n1p_fwd") / F.col("c_ctx")
     p_seen_ctx = (F.greatest(F.coalesce(F.col("c_bg"), F.lit(0)) - F.lit(d),
