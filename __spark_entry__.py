@@ -4015,6 +4015,55 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+SB_ALPHA = 0.4        # the Brants et al. backoff constant
+SB_TARGET_MOD = 3     # target corpus = docs with doc_id % 3 == 0
+
+
+def q_sb_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Stupid Backoff LM scoring (operators/textops.py sb_perplexity,
+    Brants et al. EMNLP 2007 — the distributed-counting smoothing): raw
+    bigram/unigram target counts with constant-alpha backoff, trained on
+    the doc_id % {SB_TARGET_MOD} == 0 slice, scoring every document —
+    both the seen-bigram ratio branch and the backoff branch (incl. OOV
+    continuations) are value-hash-pinned."""
+    from pagerank_spark.operators.textops import sb_perplexity
+    docs = _t(spark, sf_dir, "documents")
+    return sb_perplexity(docs,
+                         target=docs.filter(F.col("doc_id") % SB_TARGET_MOD
+                                            == 0),
+                         alpha=SB_ALPHA)
+
+
+SQL_SB_PERPLEXITY = f"""
+WITH tkt AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+tuni AS (SELECT w, count(*) AS c_w FROM
+         (SELECT unnest(t) AS w FROM tkt WHERE doc_id % {SB_TARGET_MOD} = 0)
+         GROUP BY w),
+tot AS (SELECT CAST(sum(c_w) + count(*) + 1 AS DOUBLE) AS denom FROM tuni),
+lm AS (SELECT t[g.i] AS prev, t[g.i + 1] AS cur, count(*) AS c_bg
+       FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       WHERE doc_id % {SB_TARGET_MOD} = 0 GROUP BY 1, 2),
+bg AS (SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+       FROM tkt, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+              avg(-log2(CASE WHEN lm.c_bg IS NOT NULL
+                                  AND up.c_w IS NOT NULL
+                             THEN lm.c_bg / up.c_w
+                             ELSE {SB_ALPHA}
+                                  * ((coalesce(uc.c_w, 0) + 1) / t.denom)
+                        END)) AS h
+       FROM bg b LEFT JOIN lm USING (prev, cur)
+            LEFT JOIN tuni up ON up.w = b.prev
+            LEFT JOIN tuni uc ON uc.w = b.cur
+            CROSS JOIN tot t
+       GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(power(2.0, sc.h), 0.0), 6) AS ppl
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 BPE_MERGES = 10
 
 
@@ -5502,6 +5551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (in-window) exposed as its assignment table.
         "rich_club": q_rich_club,
         "embedding_clusters": q_embedding_clusters,
+        #    sb_perplexity (new — Stupid Backoff, the LM family's third
+        #    member) out-of-window like its siblings: the scoring join
+        #    shape is kn_perplexity's (in-window) and the counting
+        #    aggregates are lm_perplexity's (r04-green), pinned by the
+        #    Python-reference pytest + check_entry replay.
+        "sb_perplexity": q_sb_perplexity,
         "pagerank_converged": q_pagerank_converged,
         "dedup_clusters": q_dedup_clusters,
         "lpa_modularity": q_lpa_modularity,
@@ -5721,4 +5776,5 @@ def oracle_sql() -> dict[str, str]:
         "simrank": _simrank_oracle_sql(),
         "rich_club": SQL_RICH_CLUB,
         "embedding_clusters": _embedding_clusters_sql(),
+        "sb_perplexity": SQL_SB_PERPLEXITY,
     }

@@ -272,6 +272,9 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     timed("lm_perplexity", lambda: noop(lm_perplexity(docs)))
     timed("kn_perplexity", lambda: noop(kn_perplexity(
         docs, target=docs.filter(F.col("doc_id") % 5 == 0))))
+    from pagerank_spark.operators.textops import sb_perplexity
+    timed("sb_perplexity", lambda: noop(sb_perplexity(
+        docs, target=docs.filter(F.col("doc_id") % 3 == 0))))
     from pagerank_spark.operators.textops import pmi_collocations
     timed("pmi_collocations", lambda: noop(pmi_collocations(
         docs, min_count=3, k=200)))

@@ -492,6 +492,72 @@ def kn_perplexity(docs: DataFrame, target: DataFrame | None = None,
                                    F.lit(0.0)), 6).alias("ppl")))
 
 
+def sb_perplexity(docs: DataFrame, target: DataFrame | None = None,
+                  alpha: float = 0.4, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants, Popat, Xu, Och, Dean,
+    "Large Language Models in Machine Translation", EMNLP 2007 — the
+    smoothing built FOR distributed counting: no discounts, no
+    normalization, just raw counts and a constant backoff):
+
+        S(w|v) = c(v,w) / c(v)            if the bigram was seen
+               = alpha * u(w)             otherwise,
+
+    with c(.) raw TARGET-corpus token/bigram counts and u(w) the unigram
+    relative frequency carrying the same +1 ``<unk>`` reserve as
+    :func:`kn_perplexity` (u(w) = (c(w)+1)/(N+V+1)), so out-of-vocabulary
+    tokens score the floor alpha/(N+V+1) instead of zero. S is a score,
+    not a probability (Brants SS3: it does not normalize — the point is
+    that it needs ONE counting pass and no context statistics beyond the
+    counts themselves); the returned ``ppl`` = 2^(-mean log2 S) is the
+    same filter-ranking transform the other LM stages use. Unseen
+    CONTEXT v (c(v) = 0) also backs off, per the paper.
+
+    ``target=None`` trains on ``docs``. Returns ``(id, n_bigrams, ppl)``
+    with ppl rounded to 6 dp; 0.0 for docs under two tokens.
+
+    Scale shape — the reason this smoothing exists: the LM is exactly
+    TWO map-side-combinable count aggregates of the target corpus
+    (unigrams; bigrams) plus two scalars, with none of KN's
+    continuation-type statistics; scoring is the lm_perplexity LEFT-join
+    shape. The 1.8T-token LM in the paper was built with this shape.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    tgt = docs if target is None else target
+    ttok = tgt.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = ttok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    tot = uni.agg(F.sum("c_w").alias("n_tokens"),
+                  F.count(F.lit(1)).alias("v_types")).collect()[0]
+    denom = float(tot["n_tokens"] + tot["v_types"] + 1)
+    tbg = doc_bigrams(tgt, id_col=id_col, text_col=text_col)
+    lm = tbg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+
+    bg = (tbg if target is None
+          else doc_bigrams(docs, id_col=id_col, text_col=text_col))
+    u_w = (F.coalesce(F.col("c_w"), F.lit(0)) + 1) / F.lit(denom)
+    s_score = F.when(
+        F.col("c_bg").isNotNull() & F.col("c_ctx").isNotNull(),
+        F.col("c_bg") / F.col("c_ctx")
+    ).otherwise(F.lit(alpha) * u_w)
+    scored = (bg
+              .join(lm, ["prev", "cur"], "left")
+              .join(uni.select(F.col("w").alias("prev"),
+                               F.col("c_w").alias("c_ctx")), ["prev"], "left")
+              .join(uni.select(F.col("w").alias("cur"), "c_w"),
+                    ["cur"], "left")
+              .groupBy(id_col).agg(
+                  F.count(F.lit(1)).alias("n_bigrams"),
+                  F.avg(-F.log2(s_score)).alias("h")))
+    return (docs.select(F.col(id_col))
+            .join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.round(F.coalesce(F.pow(F.lit(2.0), F.col("h")),
+                                   F.lit(0.0)), 6).alias("ppl")))
+
+
 def pmi_collocations(docs: DataFrame, min_count: int = 2, k: int = 100,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

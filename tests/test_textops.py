@@ -558,3 +558,72 @@ def test_kn_perplexity_self_train_and_validation(spark):
     assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
     with pytest.raises(ValueError):
         kn_perplexity(docs, discount=1.5)
+
+
+def _ref_sb(train_texts, score_by_id, alpha):
+    """Stupid Backoff reference (Brants et al. 2007) with the +1 unk
+    reserve on the unigram distribution."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return (t or "").lower().split()
+
+    uni, bi = Counter(), Counter()
+    for t in train_texts:
+        ws = toks(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    denom = sum(uni.values()) + len(uni) + 1
+    out = {}
+    for did, t in score_by_id.items():
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[did] = (0, 0.0)
+            continue
+        h = 0.0
+        for a, b in pairs:
+            if bi[(a, b)] > 0 and uni[a] > 0:
+                sc = bi[(a, b)] / uni[a]
+            else:
+                sc = alpha * (uni.get(b, 0) + 1) / denom
+            h += -math.log2(sc)
+        out[did] = (len(pairs), round(2 ** (h / len(pairs)), 6))
+    return out
+
+
+def test_sb_perplexity_matches_reference_with_target(spark):
+    import random
+    from pagerank_spark.operators.textops import sb_perplexity
+    rng = random.Random(47)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "far", "off"]
+    tgt_texts = [" ".join(rng.choices(vocab[:6], k=rng.randint(2, 10)))
+                 for _ in range(25)]
+    raw_texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+                 for _ in range(30)]
+    tgt = spark.createDataFrame([(i, t) for i, t in enumerate(tgt_texts)],
+                                "doc_id long, text string")
+    raw = spark.createDataFrame([(i, t) for i, t in enumerate(raw_texts)],
+                                "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in sb_perplexity(raw, target=tgt, alpha=0.4).collect()}
+    want = _ref_sb(tgt_texts, dict(enumerate(raw_texts)), 0.4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_sb_perplexity_seen_text_scores_better_and_validates(spark):
+    from pagerank_spark.operators.textops import sb_perplexity
+    tgt = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "qq zz qq zz")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.ppl for r in sb_perplexity(raw, target=tgt).collect()}
+    assert got[0] < got[1]
+    with pytest.raises(ValueError):
+        sb_perplexity(raw, alpha=0.0)
