@@ -1199,6 +1199,22 @@ SELECT lm, id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY lm, id
 DIST_PAIRS_N = 16  # query pairs: u = 16 smallest ids x v = the next 16
 
 
+def _query_pair_grid(spark: SparkSession, sf_dir: str, n: int):
+    """Deterministic query-pair grid shared by the distance-oracle and
+    SimRank queries: u = the n smallest vertex ids, v = the next n
+    (data-derived; one bounded 2n-row collect). Returns (pairs_df,
+    vertex_universe_df)."""
+    e = _edges(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    ordered = verts.orderBy("id").limit(2 * n).collect()
+    us = [r["id"] for r in ordered[:n]]
+    vs = [r["id"] for r in ordered[n:]]
+    pairs = spark.createDataFrame([(u, v) for u in us for v in vs],
+                                  "u long, v long")
+    return pairs, verts
+
+
 def q_distance_oracle_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query step of the sketch-based distance oracle (Das Sarma et al.
     WSDM 2010; operators/bfs.py distance_oracle_estimate): est(u, v) =
@@ -1209,17 +1225,11 @@ def q_distance_oracle_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     min aggregate, no traversal."""
     from pagerank_spark.operators.bfs import (distance_oracle_estimate,
                                               landmark_tables)
-    e = _edges(spark, sf_dir)
-    verts = (e.select(F.col("src").alias("id"))
-             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    pairs, verts = _query_pair_grid(spark, sf_dir, DIST_PAIRS_N)
     lms = verts.orderBy("id").limit(LANDMARK_K)
     # both tables from ONE shared fixpoint (parity-doubled id space)
-    fwd, bwd, _ = landmark_tables(e, lms, max_hops=LANDMARK_HOPS)
-    ordered = verts.orderBy("id").limit(2 * DIST_PAIRS_N).collect()
-    us = [r["id"] for r in ordered[:DIST_PAIRS_N]]
-    vs = [r["id"] for r in ordered[DIST_PAIRS_N:]]
-    pairs = spark.createDataFrame([(u, v) for u in us for v in vs],
-                                  "u long, v long")
+    fwd, bwd, _ = landmark_tables(_edges(spark, sf_dir), lms,
+                                  max_hops=LANDMARK_HOPS)
     return distance_oracle_estimate(fwd, pairs, to_lm=bwd)
 
 
@@ -1743,16 +1753,10 @@ def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     first meetings. The oracle replays the coupled walks, the meeting
     join, and the power sum."""
     from pagerank_spark.operators.simrank import simrank_mc
-    e = _edges(spark, sf_dir)
-    verts = (e.select(F.col("src").alias("id"))
-             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
-    ordered = verts.orderBy("id").limit(2 * SIMRANK_PAIRS_N).collect()
-    us = [r["id"] for r in ordered[:SIMRANK_PAIRS_N]]
-    vs = [r["id"] for r in ordered[SIMRANK_PAIRS_N:]]
-    pairs = spark.createDataFrame([(u, v) for u in us for v in vs],
-                                  "u long, v long")
-    return simrank_mc(e, pairs, c=SIMRANK_C, walk_length=SIMRANK_LEN,
-                      walks=SIMRANK_WALKS, seed=WALK_SEED)
+    pairs, _ = _query_pair_grid(spark, sf_dir, SIMRANK_PAIRS_N)
+    return simrank_mc(_edges(spark, sf_dir), pairs, c=SIMRANK_C,
+                      walk_length=SIMRANK_LEN, walks=SIMRANK_WALKS,
+                      seed=WALK_SEED)
 
 
 def _simrank_oracle_sql(length: int = SIMRANK_LEN,
@@ -3927,12 +3931,13 @@ UNIMAX_EPOCHS = 1.0
 
 
 def q_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""UniMax sampling-budget allocation (operators/splits.py
+    """UniMax sampling-budget allocation (operators/splits.py
     unimax_budgets, Chung et al. ICLR 2023): char-weighted per-language
-    budgets under a {UNIMAX_EPOCHS}-epoch cap. At sf0.01 the
-    {UNIMAX_BUDGET:.0f}-char budget caps every minority language at full
-    capacity and hands the remainder to English — both water-filling
-    branches (capped prefix, uniform tail) are value-hash-pinned."""
+    budgets under a UNIMAX_EPOCHS(=1)-epoch cap. At sf0.01 the
+    UNIMAX_BUDGET(=120000)-char budget caps every minority language at
+    full capacity and hands the remainder to English — both
+    water-filling branches (capped prefix, uniform tail) are
+    value-hash-pinned."""
     from pagerank_spark.operators.splits import unimax_budgets
     return unimax_budgets(_t(spark, sf_dir, "documents"), "lang",
                           budget=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS,
@@ -3971,9 +3976,9 @@ KN_TARGET_MOD = 5    # target (clean) corpus = docs with doc_id % 5 == 0
 
 
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Interpolated Kneser-Ney perplexity (operators/textops.py
+    """Interpolated Kneser-Ney perplexity (operators/textops.py
     kn_perplexity — the KenLM smoothing family, the actual CCNet stage-3
-    shape): LM trained on the doc_id % {KN_TARGET_MOD} == 0 target
+    shape): LM trained on the doc_id % KN_TARGET_MOD(=5) == 0 target
     slice, every document scored against it — so unseen bigrams, unseen
     contexts, AND out-of-vocabulary continuations (the three smoothing
     branches) are all exercised and value-hash-pinned."""
@@ -4020,10 +4025,10 @@ SB_TARGET_MOD = 3     # target corpus = docs with doc_id % 3 == 0
 
 
 def q_sb_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Stupid Backoff LM scoring (operators/textops.py sb_perplexity,
+    """Stupid Backoff LM scoring (operators/textops.py sb_perplexity,
     Brants et al. EMNLP 2007 — the distributed-counting smoothing): raw
     bigram/unigram target counts with constant-alpha backoff, trained on
-    the doc_id % {SB_TARGET_MOD} == 0 slice, scoring every document —
+    the doc_id % SB_TARGET_MOD(=3) == 0 slice, scoring every document —
     both the seen-bigram ratio branch and the backoff branch (incl. OOV
     continuations) are value-hash-pinned."""
     from pagerank_spark.operators.textops import sb_perplexity
@@ -4964,8 +4969,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_clusters_sql(dim: int = 64) -> str:
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
+WITH {_E_EMB_SQL},
 {_ivf_codebook_ctes(_IVF_CELLS, dim)}
 SELECT vec_id, cell FROM ca
 """
@@ -5064,10 +5068,11 @@ _IVFPQ_NPROBE = 4
 
 
 def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""IVFADC (operators/similarity.py ann_topk_ivfpq, Jegou et al. TPAMI
+    """IVFADC (operators/similarity.py ann_topk_ivfpq, Jegou et al. TPAMI
     2011 SIV — the FAISS IVFx,PQy shape): IVF cells prune candidates to
-    {_IVFPQ_NPROBE} probed cells, PQ/ADC scores the survivors from their
-    m-int codes. Both deterministic codebooks replayed in the oracle."""
+    _IVFPQ_NPROBE(=4) probed cells, PQ/ADC scores the survivors from
+    their m-int codes. Both deterministic codebooks replayed in the
+    oracle."""
     from pagerank_spark.operators.similarity import ann_topk_ivfpq
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -5078,8 +5083,8 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivfpq_oracle_sql(dim: int = 64) -> str:
-    f"""IVFADC replay: the IVF codebook chain prunes candidates (qa/cand,
-    nprobe={_IVFPQ_NPROBE}), the PQ chain scores them (codes/lut/ADC)."""
+    """IVFADC replay: the IVF codebook chain prunes candidates (qa/cand,
+    nprobe=_IVFPQ_NPROBE=4), the PQ chain scores them (codes/lut/ADC)."""
     parts = [_E_EMB_SQL,
              _ivf_codebook_ctes(_IVF_CELLS, dim),
              (f"qa AS (SELECT vec_id, cell FROM ("

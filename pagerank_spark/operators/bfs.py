@@ -231,6 +231,18 @@ def landmark_tables(
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst")
+    # the doubling needs |id| < 2^62 (id*2+1 must not touch the sign
+    # bit); dense-dictionary ids always satisfy this, but raw 64-bit
+    # hash ids would silently wrap — so the precondition is CHECKED
+    # (one bounded aggregate, noise next to the fixpoint)
+    lim = 1 << 62
+    mx = e.agg(F.max(F.greatest(F.abs(F.col("src")),
+                                F.abs(F.col("dst")))).alias("m")).first()
+    if mx["m"] is not None and mx["m"] >= lim:
+        raise ValueError(
+            f"landmark_tables needs vertex ids with |id| < 2^62 for the "
+            f"parity doubling; saw {mx['m']} — remap (url_id_dictionary) "
+            f"or run two landmark_bfs fixpoints instead")
     doubled = (
         e.select((F.col("src") * 2).alias("src"),
                  (F.col("dst") * 2).alias("dst"))

@@ -527,7 +527,7 @@ def sb_perplexity(docs: DataFrame, target: DataFrame | None = None,
     tgt = docs if target is None else target
     ttok = tgt.select(F.explode(tokens(F.col(text_col))).alias("w"))
     uni = ttok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    tot = uni.agg(F.sum("c_w").alias("n_tokens"),
+    tot = uni.agg(F.coalesce(F.sum("c_w"), F.lit(0)).alias("n_tokens"),
                   F.count(F.lit(1)).alias("v_types")).collect()[0]
     denom = float(tot["n_tokens"] + tot["v_types"] + 1)
     tbg = doc_bigrams(tgt, id_col=id_col, text_col=text_col)

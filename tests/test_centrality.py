@@ -291,3 +291,10 @@ def test_landmark_tables_match_two_separate_fixpoints(spark):
     fwd2, _, _ = landmark_tables(edges, lm_df, max_hops=10)
     assert sorted((r.lm, r.id, r.dist) for r in fwd2.collect()) \
         == sorted((r.lm, r.id, r.dist) for r in want_f.collect())
+
+
+def test_landmark_tables_rejects_oversized_ids(spark):
+    from pagerank_spark.operators.bfs import landmark_tables
+    big = spark.createDataFrame([(1 << 62, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        landmark_tables(big, [1], max_hops=2)

@@ -627,3 +627,17 @@ def test_sb_perplexity_seen_text_scores_better_and_validates(spark):
     assert got[0] < got[1]
     with pytest.raises(ValueError):
         sb_perplexity(raw, alpha=0.0)
+
+
+def test_sb_perplexity_empty_target_backs_off_everywhere(spark):
+    # an empty (or token-free) target must not crash: every bigram takes
+    # the backoff branch with the bare unk reserve (denom = 0 + 0 + 1)
+    from pagerank_spark.operators.textops import sb_perplexity
+    raw = spark.createDataFrame([(0, "a b c"), (1, "")],
+                                "doc_id long, text string")
+    tgt = raw.filter("doc_id < 0")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in sb_perplexity(raw, target=tgt, alpha=0.4).collect()}
+    # every score = 0.4 * (0+1)/1 = 0.4 -> ppl = 1/0.4 = 2.5
+    assert got[0] == (2, 2.5)
+    assert got[1] == (0, 0.0)
